@@ -1,0 +1,158 @@
+"""Host data pipeline: wav io, segment selection, mixing, manifests, batcher,
+interpolation index math."""
+
+import os
+
+import numpy as np
+import pytest
+
+from v2ap_tpu.data import (
+    Batch, CorpusSpec, Sample, TrainBatcher, load_corpora, load_corpus,
+    mix_captions, mix_waveforms, normalize_wav, pad_or_repeat, read_wav,
+    resample, select_max_energy_segment, write_wav,
+)
+from v2ap_tpu.data.audio_io import HOP_SIZE, load_training_clip
+from v2ap_tpu.data.video_io import (
+    interp_indices_clip, interp_indices_piano, piano_preprocess,
+)
+
+
+def make_wav(tmp_path, name="a.wav", sr=24_000, seconds=2.0, freq=440.0):
+    t = np.arange(int(sr * seconds)) / sr
+    wav = 0.4 * np.sin(2 * np.pi * freq * t).astype(np.float32)
+    path = str(tmp_path / name)
+    write_wav(path, wav, sr)
+    return path, wav
+
+
+def test_wav_roundtrip(tmp_path):
+    path, wav = make_wav(tmp_path)
+    audio, sr = read_wav(path)
+    assert sr == 24_000 and audio.shape[0] == 1
+    np.testing.assert_allclose(audio[0], wav, atol=1e-3)
+
+
+def test_resample_halves_length():
+    x = np.random.default_rng(0).normal(size=(1, 48_000)).astype(np.float32)
+    y = resample(x, 48_000, 24_000)
+    assert abs(y.shape[-1] - 24_000) <= 1
+
+
+def test_normalize_peak_half():
+    x = np.random.default_rng(0).normal(size=(1, 1000)).astype(np.float32) * 3
+    y = normalize_wav(x)
+    np.testing.assert_allclose(np.abs(y).max(), 0.5, atol=1e-3)
+
+
+def test_pad_or_repeat_tiles():
+    x = np.asarray([[1.0, 2.0, 3.0]], np.float32)
+    y = pad_or_repeat(x, 8)
+    np.testing.assert_array_equal(y[0], [1, 2, 3, 1, 2, 3, 1, 2])
+
+
+def test_select_max_energy_segment_finds_burst():
+    sr_frames = 50
+    x = np.zeros((1, sr_frames * HOP_SIZE), np.float32)
+    x[0, 30 * HOP_SIZE: 40 * HOP_SIZE] = 0.9       # loud burst at frames 30-40
+    seg = select_max_energy_segment(x, 10)
+    assert seg.shape == (1, 10 * HOP_SIZE)
+    assert np.abs(seg).mean() > 0.5
+
+
+def test_load_training_clip(tmp_path):
+    path, _ = make_wav(tmp_path, seconds=1.0)
+    clip = load_training_clip(path, target_frames=75)  # 1 s
+    assert clip.shape == (1, 75 * HOP_SIZE)
+    assert np.isfinite(clip).all()
+
+
+def test_load_training_clip_bad_file(tmp_path):
+    path = str(tmp_path / "bad.wav")
+    with open(path, "wb") as f:
+        f.write(b"not a wav")
+    assert load_training_clip(path) is None
+
+
+def test_mixing_gain_matched():
+    rng = np.random.default_rng(0)
+    s1 = rng.normal(size=(1, 24_000)).astype(np.float32) * 0.3
+    s2 = rng.normal(size=(1, 24_000)).astype(np.float32) * 0.01  # much quieter
+    mixed = mix_waveforms(s1, s2, 0.5, 24_000)
+    assert mixed.shape == s1.shape
+    assert np.isfinite(mixed).all()
+    # at r=0.5 gains equalise: quiet source scaled up, not drowned
+    assert mix_captions("A dog barks", "Rain falls") == "a dog barks and rain falls"
+
+
+def test_manifests_scp_and_json(tmp_path):
+    scp = tmp_path / "m.scp"
+    scp.write_text("/x/a.wav\tdog barking\n/x/b.wav\tcat\n")
+    js = tmp_path / "m.json"
+    js.write_text('{"data": [{"wav": "/y/c.wav", "caption": "rain"}]}')
+    samples = load_corpora([
+        CorpusSpec("scp", str(scp)),
+        CorpusSpec("json", str(js), is_sound_effect=True),
+        CorpusSpec("missing", str(tmp_path / "nope.scp")),
+    ])
+    assert len(samples) == 3
+    assert samples[0].caption == "dog barking"
+    assert samples[2].is_sound_effect
+
+
+def test_manifest_leakage_filter(tmp_path):
+    scp = tmp_path / "m.scp"
+    scp.write_text("/x/a.wav\tdog\n/x/b.wav\tcat\n")
+    samples = load_corpora([CorpusSpec("scp", str(scp))], exclude_ids={"a"})
+    assert len(samples) == 1 and samples[0].path == "/x/b.wav"
+
+
+def test_train_batcher_fixed_shapes(tmp_path):
+    paths = [make_wav(tmp_path, f"w{i}.wav", seconds=0.5, freq=200 + 50 * i)[0]
+             for i in range(4)]
+    samples = [Sample(p, f"cap{i}", "c", is_sound_effect=(i % 2 == 0))
+               for i, p in enumerate(paths)]
+    samples.append(Sample("/nonexistent/video.mp4", "piano", "v",
+                          is_video=True, is_piano=True))
+    batcher = TrainBatcher(samples, batch_size=3, seed=0)
+    batch = batcher.next_batch()
+    assert isinstance(batch, Batch)
+    assert batch.waveforms.shape == (3, 750 * HOP_SIZE)
+    assert batch.lens.tolist() == [750, 750, 750]
+    assert len(batch.captions) == 3
+    # the video row sits at the tail
+    assert batch.video_paths[-1] == "/nonexistent/video.mp4"
+    assert batch.piano[-1] is True
+
+
+def test_train_batcher_blacklists_bad_files(tmp_path):
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"junk")
+    good, _ = make_wav(tmp_path, "good.wav", seconds=0.5)
+    samples = [Sample(bad, "x", "c"), Sample(good, "y", "c")]
+    batcher = TrainBatcher(samples, batch_size=2, mix_prob=0.0, seed=0)
+    batcher.next_batch()
+    assert bad in batcher.blacklist
+
+
+def test_interp_indices_clip_monotone():
+    idx = interp_indices_clip(num_source=100, duration=10.0, length=750)
+    assert idx.shape == (750,)
+    assert idx[0] == 0 and idx[-1] == 99
+    assert np.all(np.diff(idx) >= 0)
+
+
+def test_interp_indices_piano_rows():
+    idx = interp_indices_piano(num_source=250, duration=10.0, length=750,
+                               video_multi=3.0)
+    assert idx.shape == (251,)       # floor(750/3)+1
+    assert idx[0] == 0
+    assert np.all(np.diff(idx) >= 0)
+
+
+def test_piano_preprocess_shape():
+    frames = (np.random.default_rng(0).random((3, 50, 200, 3)) * 255
+              ).astype(np.uint8)
+    out = piano_preprocess(frames)
+    assert out.shape == (3, 100, 900)
+    assert 0.0 <= out.min() and out.max() <= 1.0

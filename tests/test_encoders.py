@@ -1,0 +1,99 @@
+"""T5 encoder and CLIP vision tower: parity vs torch HF implementations with
+shared random weights (tiny configs, no network)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from v2ap_tpu.models.clip_vit import CLIPVisionModel, clip_tiny_test
+from v2ap_tpu.models.t5 import T5Encoder, t5_tiny_test
+from v2ap_tpu.utils.jitting import create_model
+
+t5_fwd = nnx.jit(lambda m, ids, mask: m(ids, mask))
+clip_fwd = nnx.jit(lambda m, px: m(px))
+
+
+def test_t5_shapes_and_mask():
+    cfg = t5_tiny_test()
+    model = create_model(lambda: T5Encoder(cfg, rngs=nnx.Rngs(0)))
+    ids = jnp.asarray([[3, 5, 7, 1, 0, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
+    out = t5_fwd(model, ids, mask)
+    assert out.shape == (1, 6, cfg.d_model)
+    np.testing.assert_allclose(np.asarray(out[0, 4:]), 0.0, atol=1e-7)
+
+
+def test_t5_parity_with_torch():
+    torch = pytest.importorskip("torch")
+    from transformers import T5Config as HFT5Config
+    from transformers import T5EncoderModel
+    from v2ap_tpu.utils.torch_convert import load_t5_from_torch
+
+    cfg = t5_tiny_test()
+    hf_cfg = HFT5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv,
+        d_ff=cfg.d_ff, num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+        relative_attention_num_buckets=cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=cfg.relative_attention_max_distance,
+        feed_forward_proj="gated-gelu", dropout_rate=0.0)
+    torch.manual_seed(0)
+    tmodel = T5EncoderModel(hf_cfg).eval()
+
+    jmodel = create_model(lambda: T5Encoder(cfg, rngs=nnx.Rngs(0)))
+    load_t5_from_torch(tmodel, jmodel)
+
+    ids = np.asarray([[3, 9, 2, 7, 1]], np.int64)
+    mask = np.asarray([[1, 1, 1, 1, 1]], np.int64)
+    with torch.no_grad():
+        t_out = tmodel(input_ids=torch.from_numpy(ids),
+                       attention_mask=torch.from_numpy(mask))[0].numpy()
+    j_out = np.asarray(t5_fwd(jmodel, jnp.asarray(ids, jnp.int32),
+                              jnp.asarray(mask, jnp.int32)))
+    np.testing.assert_allclose(j_out, t_out, rtol=2e-3, atol=2e-4)
+
+
+def test_clip_shapes():
+    cfg = clip_tiny_test()
+    model = create_model(lambda: CLIPVisionModel(cfg, rngs=nnx.Rngs(0)))
+    px = jnp.zeros((3, cfg.image_size, cfg.image_size, 3))
+    out = clip_fwd(model, px)
+    assert out.shape == (3, cfg.projection_dim)
+
+
+def test_clip_parity_with_torch():
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPVisionConfig as HFCLIPConfig
+    from transformers import CLIPVisionModelWithProjection
+    from v2ap_tpu.utils.torch_convert import load_clip_vision_from_torch
+
+    cfg = clip_tiny_test()
+    hf_cfg = HFCLIPConfig(
+        hidden_size=cfg.hidden_size, intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        projection_dim=cfg.projection_dim, hidden_act=cfg.hidden_act,
+        attention_dropout=0.0)
+    torch.manual_seed(0)
+    tmodel = CLIPVisionModelWithProjection(hf_cfg).eval()
+
+    jmodel = create_model(lambda: CLIPVisionModel(cfg, rngs=nnx.Rngs(0)))
+    load_clip_vision_from_torch(tmodel, jmodel)
+
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(2, 3, cfg.image_size, cfg.image_size)
+                    ).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(pixel_values=torch.from_numpy(px)).image_embeds.numpy()
+    j_out = np.asarray(clip_fwd(jmodel,
+                                jnp.asarray(px.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(j_out, t_out, rtol=2e-3, atol=2e-4)
+
+
+def test_clip_preprocess():
+    from v2ap_tpu.models.clip_vit import preprocess_frames
+    frames = (np.random.default_rng(0).random((2, 30, 40, 3)) * 255
+              ).astype(np.uint8)
+    out = preprocess_frames(frames, image_size=28)
+    assert out.shape == (2, 28, 28, 3)
+    assert np.isfinite(out).all()

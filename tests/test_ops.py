@@ -1,0 +1,183 @@
+"""Unit tests for core ops: norms, rope, attention (pallas vs XLA), conv, ff."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from v2ap_tpu.ops import (
+    AdaLNZero,
+    AdaptiveRMSNorm,
+    Attention,
+    DepthwiseConv1d,
+    GLUFeedForward,
+    RMSNorm,
+    TimeCondMLP,
+    apply_rope,
+    attention_reference,
+    flash_attention,
+    rope_table,
+    sway_timesteps,
+    euler_integrate,
+    project_parallel,
+    lens_to_mask,
+    mask_from_frac_lengths,
+)
+
+
+def test_rmsnorm_matches_closed_form(rng):
+    x = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+    norm = RMSNorm(16, rngs=nnx.Rngs(0))
+    out = norm(x)
+    expected = x / jnp.linalg.norm(x, axis=-1, keepdims=True) * (16 ** 0.5)
+    np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+
+def test_adaptive_rmsnorm_zero_init_is_plain_rmsnorm(rng):
+    x = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(2, 16)), jnp.float32)
+    norm = AdaptiveRMSNorm(16, rngs=nnx.Rngs(0))
+    out = norm(x, condition=cond)
+    expected = x / jnp.linalg.norm(x, axis=-1, keepdims=True) * (16 ** 0.5)
+    np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+
+def test_adaln_zero_gate_init(rng):
+    x = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(2, 16)), jnp.float32)
+    gate = AdaLNZero(16, rngs=nnx.Rngs(0))
+    out = gate(x, condition=cond)
+    # zero-init weights, bias -2 => gate = sigmoid(-2)
+    np.testing.assert_allclose(out, x * jax.nn.sigmoid(-2.0), rtol=1e-5)
+
+
+def test_rope_norm_preserving(rng):
+    t = jnp.asarray(rng.normal(size=(1, 2, 10, 64)), jnp.float32)
+    freqs = rope_table(10, 64)
+    rot = apply_rope(t, freqs)
+    np.testing.assert_allclose(
+        jnp.linalg.norm(rot, axis=-1), jnp.linalg.norm(t, axis=-1), rtol=1e-4)
+    # position 0 is unrotated
+    np.testing.assert_allclose(rot[..., 0, :], t[..., 0, :], rtol=1e-5)
+
+
+def test_rope_relative_shift_invariance(rng):
+    # <q_i rot, k_j rot> depends only on i - j
+    d = 32
+    q = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    freqs = rope_table(16, d)
+    qs = jnp.broadcast_to(q, (1, 1, 16, d))
+    ks = jnp.broadcast_to(k, (1, 1, 16, d))
+    qr, kr = np.asarray(apply_rope(qs, freqs)), np.asarray(apply_rope(ks, freqs))
+    dots = (qr[0, 0] @ kr[0, 0].T)
+    np.testing.assert_allclose(dots[2, 5], dots[7, 10], rtol=1e-4)
+    np.testing.assert_allclose(dots[0, 3], dots[9, 12], rtol=1e-4)
+
+
+@pytest.mark.parametrize("softclamp", [None, 50.0])
+def test_flash_attention_matches_reference(rng, softclamp):
+    b, h, n, d = 1, 2, 128, 64
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, n)) > 0.3)
+    ref = attention_reference(q, k, v, mask, softclamp=softclamp)
+    out = flash_attention(q, k, v, mask, softclamp=softclamp,
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_attention_module_self_and_cross(rng):
+    self_attn = Attention(32, heads=2, dim_head=16, use_pallas=False,
+                          rngs=nnx.Rngs(0))
+    cross_attn = Attention(32, heads=2, dim_head=16, dim_context=24,
+                           use_pallas=False, rngs=nnx.Rngs(1))
+    x = jnp.asarray(rng.normal(size=(2, 10, 32)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(2, 7, 24)), jnp.float32)
+    rot = rope_table(10, 16)
+    out_self = self_attn(x, rotary=rot, mask=jnp.ones((2, 10), bool))
+    assert out_self.shape == (2, 10, 32)
+    out_cross = cross_attn(x, rotary=rot, context=ctx,
+                           context_mask=jnp.ones((2, 7), bool))
+    assert out_cross.shape == (2, 10, 32)
+    assert not jnp.allclose(out_self, out_cross)
+
+
+def test_attention_mask_blocks_padding(rng):
+    """Changing masked-out keys must not change the output."""
+    attn = Attention(32, heads=2, dim_head=16, use_pallas=False,
+                     softclamp_logits=False, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.normal(size=(1, 8, 32)), jnp.float32)
+    mask = jnp.asarray([[True] * 5 + [False] * 3])
+    out1 = attn(x, mask=mask)
+    x2 = x.at[:, 5:].set(99.0)
+    out2 = attn(x2, mask=mask)
+    np.testing.assert_allclose(out1[:, :5], out2[:, :5], rtol=1e-4, atol=1e-5)
+
+
+def test_depthwise_conv_masking(rng):
+    conv = DepthwiseConv1d(8, 5, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.normal(size=(1, 12, 8)), jnp.float32)
+    mask = jnp.asarray([[True] * 6 + [False] * 6])
+    out = conv(x, mask=mask)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(out[:, 6:], jnp.zeros((1, 6, 8)), atol=1e-7)
+    # masked tail must not leak into the valid region
+    x2 = x.at[:, 6:].set(50.0)
+    out2 = conv(x2, mask=mask)
+    np.testing.assert_allclose(out[:, :6], out2[:, :6], rtol=1e-5)
+
+
+def test_glu_feedforward_shapes(rng):
+    ff = GLUFeedForward(16, mult=2, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+    assert ff(x).shape == (2, 5, 16)
+
+
+def test_time_cond_mlp(rng):
+    mlp = TimeCondMLP(32, rngs=nnx.Rngs(0))
+    t = jnp.asarray([0.0, 0.5, 1.0])
+    out = mlp(t)
+    assert out.shape == (3, 32)
+    assert not jnp.allclose(out[0], out[1])
+
+
+def test_sway_timesteps():
+    ts = sway_timesteps(25, sway=True)
+    assert ts.shape == (25,)
+    np.testing.assert_allclose(ts[0], 0.0, atol=1e-7)
+    np.testing.assert_allclose(ts[-1], 1.0, atol=1e-6)
+    assert np.all(np.diff(ts) > 0)
+    # sway front-loads: first interval smaller than uniform
+    assert ts[1] < 1.0 / 24.0
+    np.testing.assert_allclose(ts, 1.0 - np.cos(np.pi / 2 * np.linspace(0, 1, 25)),
+                               atol=1e-6)
+
+
+def test_euler_integrate_linear_ode():
+    # dy/dt = -y  =>  y(1) = e^-1
+    ts = jnp.linspace(0.0, 1.0, 1001)
+    y0 = jnp.ones((1,))
+    yT = euler_integrate(lambda t, y: -y, y0, ts)
+    np.testing.assert_allclose(yT, np.exp(-1.0), rtol=1e-3)
+
+
+def test_project_parallel(rng):
+    x = jnp.asarray(rng.normal(size=(2, 3, 4)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(2, 3, 4)), jnp.float32)
+    par, orth = project_parallel(x, y)
+    np.testing.assert_allclose(par + orth, x, rtol=1e-5)
+    # orthogonal ⟂ y per batch row
+    dots = jnp.sum(orth.reshape(2, -1) * y.reshape(2, -1), axis=-1)
+    np.testing.assert_allclose(dots, jnp.zeros(2), atol=1e-4)
+
+
+def test_lens_and_span_masks():
+    lens = jnp.asarray([3, 5])
+    m = lens_to_mask(lens, 6)
+    assert m.tolist() == [[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 0]]
+    span = mask_from_frac_lengths(lens, jnp.asarray([1.0, 0.5]), 6,
+                                  jnp.asarray([0.0, 0.0]))
+    assert span[0].sum() == 3 and span[1].sum() == 2

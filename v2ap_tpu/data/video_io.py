@@ -1,0 +1,146 @@
+"""Host-side video IO: frame decode, piano-keyboard preprocessing, and the
+frame-rate interpolation index math shared by the CLIP and piano streams.
+
+Replaces the reference's per-frame moviepy/PIL python loops
+(e2_tts_crossatt3.py:98-113,1659-1991) with vectorised numpy + OpenCV decode,
+keeping the same npz feature-cache file conventions so caches interoperate:
+  <video>.generated.npz                per-frame CLIP embeddings + duration
+  <video>.generated_frames_raw.2.npz   grayscale 100x900 keyboard frames
+
+Interpolation semantics (exact): one conditioning row per ``frame_size``
+samples; row i maps to source frame ``round(t_i / frame_dt)`` clamped — the
+"nearest frame at the hop midpoint" rule for CLIP (:1800-1813) and the
+start-aligned rule at ``video_multi*320`` samples for piano rolls
+(:1931-1942).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+SAMPLE_RATE = 24_000
+FRAME_SIZE = 320
+
+
+def read_video_frames(path: str, max_frames: Optional[int] = None
+                      ) -> Tuple[Optional[np.ndarray], Optional[float]]:
+    """Decode all frames -> (uint8 (t, H, W, 3) RGB, duration_seconds).
+
+    Returns (None, None) on decode failure (bad samples are blacklisted
+    upstream, mirroring the reference's resilience strategy, SURVEY §5.3).
+    """
+    try:
+        import cv2
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            return None, None
+        fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        cap.release()
+        if not frames:
+            return None, None
+        duration = len(frames) / fps if fps > 0 else len(frames) / 25.0
+        arr = np.stack(frames)
+        if max_frames is not None and len(arr) > max_frames:
+            idx = np.linspace(0, len(arr) - 1, max_frames).astype(int)
+            arr = arr[idx]
+        return arr, float(duration)
+    except Exception:
+        return None, None
+
+
+def piano_preprocess(frames: np.ndarray, width: int = 900, height: int = 100
+                     ) -> np.ndarray:
+    """RGB frames (t, H, W, 3) -> grayscale keyboard strips (t, height, width)
+    in [0, 1] (reference transform, e2_tts_crossatt3.py:60-63,1898-1908)."""
+    import cv2
+    out = np.empty((len(frames), height, width), np.float32)
+    for i, f in enumerate(frames):
+        g = cv2.cvtColor(f, cv2.COLOR_RGB2GRAY)
+        out[i] = cv2.resize(g, (width, height), interpolation=cv2.INTER_LINEAR)
+    return out / 255.0
+
+
+def clip_feature_cache_path(video_path: str, encoder: str = "clip_vit") -> str:
+    suffix = {"clip_vit": ".generated.npz",
+              "clip_vit2": ".generated.clip_vit2.npz",
+              "clip_convnext": ".generated.clip_convnext.npz",
+              "dinov2": ".generated.dinov2.npz",
+              "mixed": ".generated.mixed.npz"}[encoder]
+    return video_path.replace(".mp4", suffix)
+
+
+def piano_frames_cache_path(video_path: str) -> str:
+    return video_path.replace(".mp4", ".generated_frames_raw.2.npz")
+
+
+def save_feature_cache(path: str, features: np.ndarray, duration: float) -> None:
+    try:
+        np.savez(path, features, duration)
+    except OSError:
+        pass                       # read-only source dirs: skip caching
+
+
+def load_feature_cache(path: str) -> Tuple[Optional[np.ndarray], Optional[float]]:
+    if not os.path.exists(path):
+        return None, None
+    data = np.load(path)
+    return data["arr_0"], float(data["arr_1"])
+
+
+def interp_indices_clip(num_source: int, duration: float, length: int,
+                        start_sample: int = 0, max_sample: Optional[int] = None,
+                        sample_rate: int = SAMPLE_RATE,
+                        frame_size: int = FRAME_SIZE) -> np.ndarray:
+    """Per-hop nearest-source-frame indices for the CLIP stream: row for
+    sample i picks frame round((i + hop/2)/sr / (dur/(n-1))) clamped."""
+    if max_sample is None:
+        max_sample = int(duration * sample_rate)
+    samples = np.arange(start_sample, max_sample, frame_size)[:length]
+    denom = duration / max(num_source - 1, 1)
+    idx = np.round((samples + frame_size // 2) / sample_rate / denom)
+    return np.clip(idx.astype(np.int64), 0, num_source - 1)
+
+
+def interp_indices_piano(num_source: int, duration: float, length: int,
+                         video_multi: float = 3.0, start_sample: int = 0,
+                         max_sample: Optional[int] = None,
+                         sample_rate: int = SAMPLE_RATE,
+                         frame_size: int = FRAME_SIZE) -> np.ndarray:
+    """Frame indices for the piano stream at the video_multi-decimated rate:
+    floor(length/video_multi)+1 rows, start-aligned rounding."""
+    if max_sample is None:
+        max_sample = int(duration * sample_rate)
+    step = int(video_multi * frame_size)
+    n_rows = int(np.floor(length / video_multi)) + 1
+    samples = np.arange(start_sample, max_sample + step, step)[:n_rows]
+    denom = duration / max(num_source, 1)
+    idx = np.round(samples / sample_rate / denom)
+    return np.clip(idx.astype(np.int64), 0, num_source - 1)
+
+
+def mux_audio_onto_video(video_path: str, audio: np.ndarray, sr: int,
+                         out_path: str) -> bool:
+    """Write generated audio back onto the silent video. Uses ffmpeg when
+    present; otherwise writes <out>.wav next to the target and returns False
+    (this environment ships no muxer)."""
+    import shutil
+    import subprocess
+    from v2ap_tpu.data.audio_io import write_wav
+
+    ffmpeg = shutil.which("ffmpeg")
+    wav_path = os.path.splitext(out_path)[0] + ".wav"
+    write_wav(wav_path, audio, sr)
+    if ffmpeg is None:
+        return False
+    cmd = [ffmpeg, "-y", "-i", video_path, "-i", wav_path, "-c:v", "copy",
+           "-map", "0:v:0", "-map", "1:a:0", "-shortest", out_path]
+    return subprocess.run(cmd, capture_output=True).returncode == 0

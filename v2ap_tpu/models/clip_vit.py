@@ -1,0 +1,193 @@
+"""CLIP vision tower with projection, in JAX (ViT-bigG / ViT-L variants).
+
+The reference encodes every video frame with the IP-Adapter SDXL image
+encoder (CLIP ViT-bigG, 1280-d projected embeddings) and feeds the projected
+``image_embeds`` as the per-timestep "text" stream
+(reference: e2_tts_crossatt3.py:1423-1425,1659-1827). This is a from-scratch
+JAX ViT with CLIP specifics: conv patch embed (no bias), learned class token
++ position embeddings, pre-layernorm blocks, quick-gelu/gelu switch, and the
+final ``visual_projection`` applied to the layer-normed class token.
+
+Frames are encoded in fixed-size batches under one jit — the per-frame python
+loop of the reference becomes a single batched XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    hidden_size: int = 1664
+    intermediate_size: int = 8192
+    num_layers: int = 48
+    num_heads: int = 16
+    image_size: int = 224
+    patch_size: int = 14
+    projection_dim: int = 1280
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "gelu"        # bigG: gelu; openai ViT-L: quick_gelu
+    dtype: str = "bfloat16"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+def clip_vit_bigg() -> CLIPVisionConfig:
+    """IP-Adapter SDXL image encoder (ViT-bigG-14, laion2b)."""
+    return CLIPVisionConfig()
+
+
+def clip_vit_l_336() -> CLIPVisionConfig:
+    """openai/clip-vit-large-patch14-336 (the reference's clip_vit2 option)."""
+    return CLIPVisionConfig(hidden_size=1024, intermediate_size=4096,
+                            num_layers=24, num_heads=16, image_size=336,
+                            patch_size=14, projection_dim=768,
+                            hidden_act="quick_gelu")
+
+
+def clip_tiny_test() -> CLIPVisionConfig:
+    return CLIPVisionConfig(hidden_size=32, intermediate_size=64, num_layers=2,
+                            num_heads=4, image_size=28, patch_size=14,
+                            projection_dim=16, dtype="float32")
+
+
+def _act(name: str):
+    if name == "quick_gelu":
+        return lambda x: x * nnx.sigmoid(1.702 * x)
+    return lambda x: nnx.gelu(x, approximate=False)
+
+
+class CLIPMLP(nnx.Module):
+    def __init__(self, cfg: CLIPVisionConfig, *, dtype, rngs: nnx.Rngs):
+        kw = dict(dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+        self.fc1 = nnx.Linear(cfg.hidden_size, cfg.intermediate_size, **kw)
+        self.fc2 = nnx.Linear(cfg.intermediate_size, cfg.hidden_size, **kw)
+        self.act = _act(cfg.hidden_act)
+
+    def __call__(self, x):
+        return self.fc2(self.act(self.fc1(x)))
+
+
+class CLIPAttention(nnx.Module):
+    def __init__(self, cfg: CLIPVisionConfig, *, dtype, rngs: nnx.Rngs):
+        kw = dict(dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+        d = cfg.hidden_size
+        self.q = nnx.Linear(d, d, **kw)
+        self.k = nnx.Linear(d, d, **kw)
+        self.v = nnx.Linear(d, d, **kw)
+        self.o = nnx.Linear(d, d, **kw)
+        self.heads = cfg.num_heads
+        self.dh = d // cfg.num_heads
+
+    def __call__(self, x):
+        b, n, d = x.shape
+        split = lambda t: t.reshape(b, n, self.heads, self.dh).transpose(0, 2, 1, 3)
+        q, k, v = split(self.q(x)), split(self.k(x)), split(self.v(x))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) * (self.dh ** -0.5)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, n, d)
+        return self.o(out)
+
+
+class CLIPBlock(nnx.Module):
+    def __init__(self, cfg: CLIPVisionConfig, *, dtype, rngs: nnx.Rngs):
+        kw = dict(epsilon=cfg.layer_norm_eps, param_dtype=jnp.float32,
+                  dtype=jnp.float32, rngs=rngs)
+        self.ln1 = nnx.LayerNorm(cfg.hidden_size, **kw)
+        self.attn = CLIPAttention(cfg, dtype=dtype, rngs=rngs)
+        self.ln2 = nnx.LayerNorm(cfg.hidden_size, **kw)
+        self.mlp = CLIPMLP(cfg, dtype=dtype, rngs=rngs)
+
+    def __call__(self, x):
+        x = x + self.attn(self.ln1(x).astype(x.dtype))
+        x = x + self.mlp(self.ln2(x).astype(x.dtype))
+        return x
+
+
+class CLIPVisionModel(nnx.Module):
+    """pixel_values (b, H, W, 3) -> projected image embeds (b, projection_dim)."""
+
+    def __init__(self, cfg: CLIPVisionConfig | None = None, *, rngs: nnx.Rngs):
+        self.cfg = cfg or clip_vit_bigg()
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        self.dtype = dtype
+
+        self.patch_embed = nnx.Conv(
+            3, cfg.hidden_size, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+            use_bias=False, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+        self.class_embedding = nnx.Param(
+            jax.random.normal(rngs.params(), (cfg.hidden_size,), jnp.float32) * 0.02)
+        self.position_embedding = nnx.Param(
+            jax.random.normal(rngs.params(),
+                              (cfg.num_patches + 1, cfg.hidden_size),
+                              jnp.float32) * 0.02)
+        ln_kw = dict(epsilon=cfg.layer_norm_eps, param_dtype=jnp.float32,
+                     dtype=jnp.float32, rngs=rngs)
+        self.pre_layernorm = nnx.LayerNorm(cfg.hidden_size, **ln_kw)
+        self.blocks = nnx.List([CLIPBlock(cfg, dtype=dtype, rngs=rngs)
+                                for _ in range(cfg.num_layers)])
+        self.post_layernorm = nnx.LayerNorm(cfg.hidden_size, **ln_kw)
+        self.visual_projection = nnx.Linear(
+            cfg.hidden_size, cfg.projection_dim, use_bias=False, dtype=dtype,
+            param_dtype=jnp.float32, rngs=rngs)
+
+    def __call__(self, pixel_values: jnp.ndarray,
+                 return_hidden: bool = False) -> jnp.ndarray:
+        b = pixel_values.shape[0]
+        patches = self.patch_embed(pixel_values.astype(self.dtype))
+        patches = patches.reshape(b, -1, self.cfg.hidden_size)
+        cls = jnp.broadcast_to(
+            self.class_embedding[...].astype(self.dtype)[None, None],
+            (b, 1, self.cfg.hidden_size))
+        x = jnp.concatenate([cls, patches], axis=1)
+        x = x + self.position_embedding[...].astype(self.dtype)[None]
+        x = self.pre_layernorm(x).astype(self.dtype)
+        for blk in self.blocks:
+            x = blk(x)
+        if return_hidden:
+            return x
+        pooled = self.post_layernorm(x[:, 0]).astype(self.dtype)
+        return self.visual_projection(pooled).astype(jnp.float32)
+
+
+# ------------------------------------------------------------- preprocessing
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def preprocess_frames(frames, image_size: int = 224):
+    """uint8 RGB frames (t, H, W, 3) -> float32 (t, S, S, 3), CLIP-normalised.
+
+    Matches CLIPImageProcessor defaults: resize shortest edge (bicubic),
+    center crop, rescale 1/255, normalize. Host-side (numpy + PIL).
+    """
+    import numpy as np
+    from PIL import Image
+
+    out = np.empty((len(frames), image_size, image_size, 3), np.float32)
+    mean = np.asarray(CLIP_MEAN, np.float32)
+    std = np.asarray(CLIP_STD, np.float32)
+    for i, frame in enumerate(frames):
+        img = Image.fromarray(frame)
+        w, h = img.size
+        short = min(w, h)
+        nw, nh = round(w * image_size / short), round(h * image_size / short)
+        img = img.resize((nw, nh), Image.BICUBIC)
+        left = (nw - image_size) // 2
+        top = (nh - image_size) // 2
+        img = img.crop((left, top, left + image_size, top + image_size))
+        arr = np.asarray(img, np.float32) / 255.0
+        out[i] = (arr - mean) / std
+    return out

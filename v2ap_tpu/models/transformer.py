@@ -1,0 +1,266 @@
+"""Tri-stream DiT-style transformer backbone.
+
+Re-design of the reference's ``Transformer`` (e2_tts_crossatt3.py:707-1143):
+three parallel token streams at the latent frame rate —
+
+  * audio  (dim 1024, 16h x 64): the flow-matching state, time-conditioned via
+    AdaptiveRMSNorm + AdaLN-Zero, with a depthwise-conv positional module,
+    self-attention, optional cross-attention to the T5 prompt context, GLU FF,
+    and U-Net-style skip connections between the two depth halves.
+  * text   (dim 1280): CLIP ViT-bigG per-frame embeddings, own attn/FF tower.
+  * frames (dim 512, 8h x 64): piano-roll stream, own conv/attn/FF tower.
+
+Per layer the three streams exchange information through zero-initialised
+linear fusions (``CrossCondition``, reference :664-702). 32 learned register
+tokens are prepended to every stream; RoPE per stream; the key-padding mask is
+shared (registers always attend).
+
+TPU-first choices: the layer stack is unrolled under ``jit`` (12 layers),
+every attention runs the Pallas flash kernel, all matmuls in bf16 on the MXU,
+norms/softmax in f32. No data-dependent control flow anywhere, so the whole
+backbone traces into one XLA computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import nnx
+
+from v2ap_tpu.config import ModelConfig
+from v2ap_tpu.ops import (
+    AdaLNZero,
+    AdaptiveRMSNorm,
+    Attention,
+    DepthwiseConv1d,
+    GLUFeedForward,
+    RMSNorm,
+    TimeCondMLP,
+    rope_table,
+)
+
+
+class CrossCondition(nnx.Module):
+    """Zero-init linear fusion between the three streams.
+
+    audio += W_a([audio,text,frames]); text += W_t([audio,text]) (disabled on
+    the last text layer); frames += W_f([audio,frames]).
+    """
+
+    def __init__(self, dim: int, dim_text: int, dim_frames: int,
+                 cond_audio_to_others: bool = True, *, dtype=jnp.float32,
+                 rngs: nnx.Rngs):
+        kw = dict(use_bias=False, kernel_init=nnx.initializers.zeros_init(),
+                  dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+        self.to_audio = nnx.Linear(dim + dim_text + dim_frames, dim, **kw)
+        self.cond_audio_to_others = cond_audio_to_others
+        if cond_audio_to_others:
+            self.to_text = nnx.Linear(dim + dim_text, dim_text, **kw)
+            self.to_frames = nnx.Linear(dim + dim_frames, dim_frames, **kw)
+
+    def __call__(self, audio, text, frames):
+        atf = jnp.concatenate([audio, text, frames], axis=-1)
+        audio_out = audio + self.to_audio(atf)
+        if self.cond_audio_to_others:
+            at = jnp.concatenate([audio, text], axis=-1)
+            af = jnp.concatenate([audio, frames], axis=-1)
+            text = text + self.to_text(at)
+            frames = frames + self.to_frames(af)
+        return audio_out, text, frames
+
+
+class StreamBlock(nnx.Module):
+    """conv? -> attn -> ff tower for the text / frames streams (plain RMSNorm)."""
+
+    def __init__(self, dim: int, heads: int, dim_head: int, ff_mult: int,
+                 kernel_size: int, use_conv: bool, cfg: ModelConfig, *,
+                 dtype=jnp.float32, rngs: nnx.Rngs):
+        self.conv = (DepthwiseConv1d(dim, kernel_size, dtype=dtype, rngs=rngs)
+                     if use_conv else None)
+        self.attn_norm = RMSNorm(dim, rngs=rngs)
+        self.attn = Attention(
+            dim, heads, dim_head, dropout=cfg.dropout,
+            gate_value_heads=cfg.gate_value_heads,
+            softclamp_logits=cfg.softclamp_logits,
+            softclamp_value=cfg.softclamp_value,
+            dtype=dtype, rngs=rngs)
+        self.ff_norm = RMSNorm(dim, rngs=rngs)
+        self.ff = GLUFeedForward(dim, ff_mult, cfg.dropout, dtype=dtype, rngs=rngs)
+
+    def __call__(self, x, *, rotary, mask, deterministic=True):
+        if self.conv is not None:
+            x = self.conv(x, mask=mask) + x
+        x = self.attn(self.attn_norm(x), rotary=rotary, mask=mask,
+                      deterministic=deterministic) + x
+        x = self.ff(self.ff_norm(x), deterministic=deterministic) + x
+        return x
+
+
+class AudioBlock(nnx.Module):
+    """Time-conditioned audio-stream block with skip merge, conv, self-attn,
+    cross-attn (T5 context) and FF — residual order per reference :1106-1137."""
+
+    def __init__(self, cfg: ModelConfig, is_later_half: bool, *,
+                 dtype=jnp.float32, rngs: nnx.Rngs):
+        dim = cfg.dim
+        self.skip_proj = (
+            nnx.Linear(dim * 2, dim, use_bias=False, dtype=dtype,
+                       param_dtype=jnp.float32, rngs=rngs)
+            if is_later_half else None)
+        self.conv = (DepthwiseConv1d(dim, cfg.kernel_size, dtype=dtype, rngs=rngs)
+                     if cfg.if_audio_conv else None)
+
+        attn_kw = dict(dropout=cfg.dropout, gate_value_heads=cfg.gate_value_heads,
+                       softclamp_logits=cfg.softclamp_logits,
+                       softclamp_value=cfg.softclamp_value, dtype=dtype, rngs=rngs)
+        self.attn_norm = AdaptiveRMSNorm(dim, rngs=rngs)
+        self.attn = Attention(dim, cfg.heads, cfg.dim_head, **attn_kw)
+        self.attn_gate = AdaLNZero(dim, rngs=rngs)
+        if cfg.if_cross_attn:
+            self.cross_norm = AdaptiveRMSNorm(dim, rngs=rngs)
+            self.cross_attn = Attention(dim, cfg.heads, cfg.dim_head,
+                                        dim_context=cfg.dim_context, **attn_kw)
+            self.cross_gate = AdaLNZero(dim, rngs=rngs)
+        else:
+            self.cross_attn = None
+        self.ff_norm = AdaptiveRMSNorm(dim, rngs=rngs)
+        self.ff = GLUFeedForward(dim, cfg.ff_mult, cfg.dropout, dtype=dtype, rngs=rngs)
+        self.ff_gate = AdaLNZero(dim, rngs=rngs)
+
+    def __call__(self, x, skip, *, cond, rotary, mask, context, context_mask,
+                 deterministic=True):
+        if self.skip_proj is not None:
+            x = self.skip_proj(jnp.concatenate([x, skip], axis=-1))
+        if self.conv is not None:
+            x = self.conv(x, mask=mask) + x
+        attn_out = self.attn(self.attn_norm(x, condition=cond), rotary=rotary,
+                             mask=mask, deterministic=deterministic)
+        x = x + self.attn_gate(attn_out, condition=cond)
+        if self.cross_attn is not None and context is not None:
+            cross_out = self.cross_attn(
+                self.cross_norm(x, condition=cond), rotary=rotary, mask=mask,
+                context=context, context_mask=context_mask,
+                deterministic=deterministic)
+            x = x + self.cross_gate(cross_out, condition=cond)
+        ff_out = self.ff(self.ff_norm(x, condition=cond), deterministic=deterministic)
+        x = x + self.ff_gate(ff_out, condition=cond)
+        return x
+
+
+class TriStreamTransformer(nnx.Module):
+    def __init__(self, cfg: ModelConfig, *, rngs: nnx.Rngs):
+        assert cfg.depth % 2 == 0, "depth must be even for U-Net skips"
+        assert 1 <= cfg.text_depth <= cfg.depth
+        self.cfg = cfg
+        dtype = jnp.dtype(cfg.dtype)
+        self.dtype = dtype
+
+        init_reg = nnx.initializers.normal(stddev=0.02)
+        self.registers = nnx.Param(init_reg(rngs.params(), (cfg.num_registers, cfg.dim)))
+        self.text_registers = nnx.Param(
+            init_reg(rngs.params(), (cfg.num_registers, cfg.dim_text)))
+        self.frames_registers = nnx.Param(
+            init_reg(rngs.params(), (cfg.num_registers, cfg.dim_frames)))
+
+        self.abs_pos_emb = (
+            nnx.Embed(cfg.max_seq_len, cfg.dim, param_dtype=jnp.float32,
+                      dtype=dtype, rngs=rngs)
+            if cfg.abs_pos_emb else None)
+
+        self.time_mlp = TimeCondMLP(cfg.dim, rngs=rngs)
+
+        self.audio_blocks = nnx.List()
+        self.text_blocks = nnx.List()
+        self.frames_blocks = nnx.List()
+        self.cross_conditions = nnx.List()
+        for ind in range(cfg.depth):
+            is_later_half = ind >= cfg.depth // 2
+            self.audio_blocks.append(
+                AudioBlock(cfg, is_later_half, dtype=dtype, rngs=rngs))
+            has_text = ind < cfg.text_depth
+            if has_text:
+                self.text_blocks.append(StreamBlock(
+                    cfg.dim_text, cfg.text_heads, cfg.text_dim_head,
+                    cfg.text_ff_mult, cfg.kernel_size, cfg.if_text_conv, cfg,
+                    dtype=dtype, rngs=rngs))
+                is_last_text = ind == cfg.text_depth - 1
+                self.cross_conditions.append(CrossCondition(
+                    cfg.dim, cfg.dim_text, cfg.dim_frames,
+                    cond_audio_to_others=not is_last_text, dtype=dtype, rngs=rngs))
+            else:
+                self.text_blocks.append(None)
+                self.cross_conditions.append(None)
+            # frames tower exists at every depth (reference :910-927)
+            self.frames_blocks.append(StreamBlock(
+                cfg.dim_frames, cfg.frames_heads, cfg.frames_dim_head,
+                cfg.frames_ff_mult, cfg.kernel_size, True, cfg,
+                dtype=dtype, rngs=rngs))
+
+        self.final_norm = RMSNorm(cfg.dim, rngs=rngs)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,                      # (b, n, dim) projected latents
+        *,
+        times: jnp.ndarray,                  # (b,) flow time in [0, 1]
+        mask: jnp.ndarray | None,            # (b, n) True == valid
+        text_embed: jnp.ndarray,             # (b, n, dim_text)
+        frames_embed: jnp.ndarray,           # (b, n, dim_frames)
+        context: jnp.ndarray | None = None,        # (b, nc, dim_context)
+        context_mask: jnp.ndarray | None = None,   # (b, nc)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        b, n, _ = x.shape
+        r = cfg.num_registers
+
+        if self.abs_pos_emb is not None:
+            assert n <= cfg.max_seq_len, f"{n} > max_seq_len {cfg.max_seq_len}"
+            x = x + self.abs_pos_emb(jnp.arange(n))
+
+        cond = self.time_mlp(times)           # (b, dim)
+
+        # prepend registers to all streams; extend mask with True
+        tile = lambda p: jnp.broadcast_to(p.value[None], (b, r, p.value.shape[-1])).astype(x.dtype)
+        x = jnp.concatenate([tile(self.registers), x], axis=1)
+        text_embed = jnp.concatenate(
+            [tile(self.text_registers), text_embed.astype(x.dtype)], axis=1)
+        frames_embed = jnp.concatenate(
+            [tile(self.frames_registers), frames_embed.astype(x.dtype)], axis=1)
+        if mask is not None:
+            mask = jnp.concatenate(
+                [jnp.ones((b, r), bool), mask.astype(bool)], axis=1)
+
+        total = n + r
+        rot_audio = rope_table(total, cfg.dim_head)
+        rot_text = rope_table(total, cfg.text_dim_head)
+        rot_frames = rope_table(total, cfg.frames_dim_head)
+
+        skips = []
+        for ind in range(cfg.depth):
+            text_block = self.text_blocks[ind]
+            if text_block is not None:
+                text_embed = text_block(text_embed, rotary=rot_text, mask=mask,
+                                        deterministic=deterministic)
+                frames_embed = self.frames_blocks[ind](
+                    frames_embed, rotary=rot_frames, mask=mask,
+                    deterministic=deterministic)
+                x, text_embed, frames_embed = self.cross_conditions[ind](
+                    x, text_embed, frames_embed)
+
+            layer = ind + 1
+            if layer <= cfg.depth // 2:
+                skips.append(x)
+                skip = None
+            else:
+                skip = skips.pop()
+
+            x = self.audio_blocks[ind](
+                x, skip, cond=cond, rotary=rot_audio, mask=mask,
+                context=context, context_mask=context_mask,
+                deterministic=deterministic)
+
+        assert not skips
+        x = x[:, r:]
+        return self.final_norm(x)

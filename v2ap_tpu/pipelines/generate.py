@@ -1,0 +1,266 @@
+"""End-to-end video-to-audio / video-to-piano generation pipeline.
+
+The serving path of the reference (`run()` in app.py:211-298 / predict.py:
+210-297, SURVEY §3.1), re-built TPU-first:
+
+  host: video decode (cv2) -> CLIP preprocessing -> piano strips    [CPU]
+  device: CLIP tower (chunked batches, one jit)                     [TPU]
+  device: 25-step sway-Euler CFM sampling, CFG batch-doubled,
+          piano Video2Roll branch inside the jitted sampler         [TPU]
+  device: EnCodec decode                                            [TPU]
+  host: wav write + (optional) ffmpeg mux                           [CPU]
+
+All device stages are jitted once per shape bucket (latent lengths bucket to
+multiples of 96 so total length with 32 registers tiles onto the Pallas
+flash-attention kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from v2ap_tpu.config import V2APConfig, SamplerConfig
+
+
+def bucket_length(n: int, bucket: int = 96) -> int:
+    """Round up so (length + 32 registers) divides into flash-kernel blocks."""
+    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+
+
+class FallbackTokenizer:
+    """Deterministic hash tokenizer used when the sentencepiece T5 tokenizer
+    assets are unavailable (zero-egress environments); ids are stable across
+    processes so cached prompts stay valid."""
+
+    def __init__(self, vocab_size: int, max_len: int = 64):
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+
+    def __call__(self, prompts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        b = len(prompts)
+        ids = np.zeros((b, self.max_len), np.int32)
+        mask = np.zeros((b, self.max_len), np.int32)
+        for i, p in enumerate(prompts):
+            words = p.split()[: self.max_len - 1]
+            for j, w in enumerate(words):
+                h = int(hashlib.md5(w.lower().encode()).hexdigest(), 16)
+                ids[i, j] = h % (self.vocab_size - 2) + 1
+            ids[i, len(words)] = 1            # eos
+            mask[i, : len(words) + 1] = 1
+        return ids, mask
+
+
+def load_t5_tokenizer(path: Optional[str], vocab_size: int):
+    path = path or os.environ.get("V2AP_T5_TOKENIZER")
+    if path and os.path.exists(path):
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(path)
+
+        def encode(prompts):
+            batch = tok(list(prompts), padding=True, truncation=True,
+                        max_length=tok.model_max_length, return_tensors="np")
+            return batch["input_ids"].astype(np.int32), \
+                batch["attention_mask"].astype(np.int32)
+
+        return encode
+    return FallbackTokenizer(vocab_size)
+
+
+class V2APipeline:
+    """Owns the model stack + jitted device programs."""
+
+    def __init__(self, cfg: V2APConfig | None = None, *, seed: int = 0,
+                 tokenizer_path: Optional[str] = None,
+                 t5_config=None, clip_config=None):
+        import jax
+        import jax.numpy as jnp
+        from flax import nnx
+        from v2ap_tpu.models.cfm import CFM
+        from v2ap_tpu.models.encodec import EncodecModel
+        from v2ap_tpu.models.t5 import T5Encoder, flan_t5_large
+        from v2ap_tpu.models.clip_vit import CLIPVisionModel, clip_vit_bigg
+        from v2ap_tpu.utils.jitting import create_model
+
+        self.cfg = cfg or V2APConfig()
+        self._jnp = jnp
+        self._nnx = nnx
+        self._jax = jax
+
+        self.t5_cfg = t5_config or flan_t5_large()
+        self.clip_cfg = clip_config or clip_vit_bigg()
+
+        self.cfm = create_model(lambda: CFM(
+            self.cfg.model, self.cfg.conditioning, rngs=nnx.Rngs(seed)))
+        self.codec = create_model(lambda: EncodecModel(rngs=nnx.Rngs(seed + 1)))
+        self.t5 = create_model(lambda: T5Encoder(self.t5_cfg,
+                                                 rngs=nnx.Rngs(seed + 2)))
+        self.clip = create_model(lambda: CLIPVisionModel(
+            self.clip_cfg, rngs=nnx.Rngs(seed + 3)))
+
+        self.tokenize = load_t5_tokenizer(tokenizer_path, self.t5_cfg.vocab_size)
+
+        self._t5_fwd = nnx.jit(lambda m, ids, mask: m(ids, mask))
+        self._clip_fwd = nnx.jit(lambda m, px: m(px))
+        self._decode = nnx.jit(lambda m, lat: m.decode(lat))
+        self._encode_audio = nnx.jit(lambda m, wav: m.encode(wav))
+        self._sample = nnx.jit(
+            lambda m, x0, text, frames_roll, ctx, ctx_mask, mask, sampler:
+                m.sample(x0, text_embed=text, frames_embed=frames_roll,
+                         context=ctx, context_mask=ctx_mask, mask=mask,
+                         sampler=sampler),
+            static_argnames="sampler")
+        self._encode_frames = nnx.jit(
+            lambda m, frames, n: m.encode_frames(frames, n),
+            static_argnames="n")
+
+    # ------------------------------------------------------------ conditioning
+    def encode_text(self, prompts: Sequence[str]):
+        ids, mask = self.tokenize(list(prompts))
+        ctx = self._t5_fwd(self.t5, self._jnp.asarray(ids),
+                           self._jnp.asarray(mask))
+        return ctx, self._jnp.asarray(mask, bool)
+
+    def encode_video_frames_clip(self, video_path: str, length: int,
+                                 chunk: int = 32):
+        """Per-frame CLIP embeddings interpolated to the latent rate, with the
+        reference's on-disk npz cache (e2_tts_crossatt3.py:1679-1813)."""
+        from v2ap_tpu.data import video_io
+        from v2ap_tpu.models.clip_vit import preprocess_frames
+
+        cache = video_io.clip_feature_cache_path(video_path)
+        feats, duration = (video_io.load_feature_cache(cache)
+                           if self.cfg.conditioning.feature_cache else (None, None))
+        if feats is None:
+            frames, duration = video_io.read_video_frames(video_path)
+            if frames is None:
+                return None, None
+            px = preprocess_frames(frames, self.clip_cfg.image_size)
+            embeds = []
+            for i in range(0, len(px), chunk):
+                part = px[i: i + chunk]
+                pad = chunk - len(part)
+                if pad:
+                    part = np.concatenate(
+                        [part, np.zeros((pad,) + part.shape[1:], part.dtype)])
+                out = np.asarray(self._clip_fwd(self.clip,
+                                                self._jnp.asarray(part)))
+                embeds.append(out[: chunk - pad])
+            feats = np.concatenate(embeds)
+            if self.cfg.conditioning.feature_cache:
+                video_io.save_feature_cache(cache, feats, duration)
+        idx = video_io.interp_indices_clip(
+            len(feats), duration, length,
+            sample_rate=self.cfg.conditioning.sampling_rate,
+            frame_size=self.cfg.conditioning.frame_size)
+        interp = feats[idx]
+        if len(interp) < length:
+            interp = np.concatenate(
+                [interp, np.zeros((length - len(interp), interp.shape[-1]),
+                                  interp.dtype)])
+        return interp.astype(np.float32), duration
+
+    def encode_piano_frames(self, video_path: str, length: int):
+        """Grayscale keyboard strips resampled to the roll rate, cached
+        (e2_tts_crossatt3.py:1888-1943)."""
+        from v2ap_tpu.data import video_io
+
+        cache = video_io.piano_frames_cache_path(video_path)
+        strips, duration = (video_io.load_feature_cache(cache)
+                            if self.cfg.conditioning.feature_cache else (None, None))
+        if strips is None:
+            frames, duration = video_io.read_video_frames(video_path)
+            if frames is None:
+                return None
+            strips = video_io.piano_preprocess(
+                frames, self.cfg.conditioning.piano_frame_w,
+                self.cfg.conditioning.piano_frame_h)
+            if self.cfg.conditioning.feature_cache:
+                video_io.save_feature_cache(cache, strips, duration)
+        if strips.ndim == 4:                 # cache stores (t, h, w, 1)
+            strips = strips[..., 0]
+        idx = video_io.interp_indices_piano(
+            len(strips), duration, length,
+            video_multi=self.cfg.model.video_multi,
+            sample_rate=self.cfg.conditioning.sampling_rate,
+            frame_size=self.cfg.conditioning.frame_size)
+        return strips[idx].astype(np.float32)
+
+    # ---------------------------------------------------------------- generate
+    def generate(
+        self,
+        video_path: Optional[str],
+        prompt: str = "",
+        *,
+        duration_s: Optional[float] = None,
+        steps: int = 25,
+        cfg_strength: float = 2.0,
+        piano: bool = False,
+        seed: int = 0,
+        max_duration_s: float = 30.0,
+    ) -> Tuple[np.ndarray, int]:
+        """Silent video (+ optional prompt) -> generated waveform @ 24 kHz.
+
+        Serving-parity semantics: empty prompt becomes the video-drop filler
+        "the sound of X X" with zeroed T5 context (e2_tts_crossatt3.py:
+        2053-2062); piano mode feeds keyboard strips through Video2Roll."""
+        jnp = self._jnp
+        cond = self.cfg.conditioning
+        sr = cond.sampling_rate
+
+        text_embed_np, video_duration = (None, None)
+        n = None
+        if video_path is not None:
+            probe_len = int(max_duration_s * sr / cond.frame_size)
+            text_embed_np, video_duration = self.encode_video_frames_clip(
+                video_path, probe_len)
+        if duration_s is None:
+            duration_s = min(video_duration or 10.0, max_duration_s)
+        n_valid = int(round(duration_s * sr / cond.frame_size))
+        n = bucket_length(n_valid)
+
+        b = 1
+        if text_embed_np is not None:
+            text = np.zeros((b, n, self.cfg.model.dim_text), np.float32)
+            text[0, : min(n, len(text_embed_np))] = text_embed_np[:n]
+            text = jnp.asarray(text)
+        else:
+            text = jnp.zeros((b, n, self.cfg.model.dim_text), jnp.float32)
+
+        drop_prompt = prompt.strip() == ""
+        eff_prompt = "the sound of X X" if drop_prompt else prompt
+        ctx, ctx_mask = self.encode_text([eff_prompt])
+        if drop_prompt:
+            ctx = ctx * 0.0
+
+        if piano and video_path is not None:
+            strips = self.encode_piano_frames(video_path, n)
+            if strips is not None:
+                frames_roll = np.asarray(self._encode_frames(
+                    self.cfm, jnp.asarray(strips[None]), n))
+                frames_roll = jnp.asarray(frames_roll)
+            else:
+                frames_roll = jnp.zeros((b, n, self.cfg.model.notes))
+        else:
+            frames_roll = jnp.zeros((b, n, self.cfg.model.notes), jnp.float32)
+
+        mask = jnp.arange(n)[None, :] < n_valid
+        x0 = self._jax.random.normal(
+            self._jax.random.key(seed), (b, n, self.cfg.model.num_channels))
+        sampler = SamplerConfig(steps=steps, cfg_strength=cfg_strength,
+                                sway_sampling=True)
+        latents = self._sample(self.cfm, x0, text, frames_roll, ctx, ctx_mask,
+                               mask, sampler)
+        wav = np.asarray(self._decode(self.codec, latents[:, :n_valid]))
+        samples = int(duration_s * sr)
+        return wav[0, :samples], sr
+
+    def generate_to_file(self, video_path: str, out_path: str, **kw) -> str:
+        from v2ap_tpu.data.video_io import mux_audio_onto_video
+        wav, sr = self.generate(video_path, **kw)
+        mux_audio_onto_video(video_path, wav, sr, out_path)
+        return out_path

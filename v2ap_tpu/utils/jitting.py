@@ -1,0 +1,34 @@
+"""JIT/compile-cache utilities.
+
+On this stack every *eager* primitive dispatch triggers a mini-compilation
+(~0.1-1 s each), so models must be constructed and invoked under jit:
+``create_model`` traces the whole parameter initialisation into one XLA
+program, and ``enable_compile_cache`` turns on JAX's persistent on-disk
+compilation cache so both test (CPU) and TPU executables survive across
+processes (second runs compile in milliseconds).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, TypeVar
+
+import jax
+from flax import nnx
+
+M = TypeVar("M", bound=nnx.Module)
+
+_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    jax.config.update("jax_compilation_cache_dir", path or _DEFAULT_CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def create_model(factory: Callable[[], M]) -> M:
+    """Build an nnx model with all param initialisation fused into one jitted
+    program (vastly faster than eager per-param init)."""
+    return nnx.jit(factory)()

@@ -1,0 +1,142 @@
+"""Torch -> JAX weight converters for the frozen encoder stack and the
+published reference checkpoints.
+
+The framework's own training state is orbax-native; these converters exist so
+a user of the reference can bring the published HF checkpoints
+(``facebook/encodec_24khz``, ``flan-t5-large``, CLIP ViT-bigG, and the
+``lshzhm/Video-to-Audio-and-Piano`` CFM checkpoint — reference app.py:36)
+into this framework once, offline.
+
+torch is only imported inside functions (CPU wheels suffice; nothing here
+runs in the hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _t2j(t) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(t.detach().cpu().numpy()))
+
+
+# --------------------------------------------------------------------- encodec
+
+def load_encodec_from_torch(torch_model, jax_model) -> None:
+    """Copy weights from an HF ``EncodecModel`` (torch) into
+    ``v2ap_tpu.models.encodec.EncodecModel`` in place.
+
+    Weight-norm parametrizations are folded by reading ``.weight`` through
+    torch's parametrization machinery.
+    """
+    for tl, jl in ((torch_model.encoder.layers, jax_model.encoder.layers),
+                   (torch_model.decoder.layers, jax_model.decoder.layers)):
+        assert len(tl) == len(jl), (len(tl), len(jl))
+        for tmod, jmod in zip(tl, jl):
+            if type(jmod).__name__ == "Elu":      # activation placeholder
+                continue
+            _copy_codec_layer(tmod, jmod)
+    # quantizer codebooks
+    try:
+        layers = list(torch_model.quantizer.layers)
+    except AttributeError:
+        layers = []
+    if layers:
+        cbs = np.stack([np.asarray(l.codebook.embed.detach().cpu().numpy())
+                        for l in layers])
+        q = jax_model.quantizer.codebooks[...].shape[0]
+        jax_model.quantizer.codebooks[...] = jnp.asarray(cbs[:q])
+
+
+def _copy_codec_layer(tmod, jmod) -> None:
+    from v2ap_tpu.models.encodec import (
+        CausalConv1d, CausalConvTranspose1d, ResnetBlock1d, ResidualLSTM)
+
+    name = type(tmod).__name__
+    if isinstance(jmod, CausalConv1d):
+        w = _t2j(tmod.conv.weight)          # (out, in, k)
+        jmod.kernel[...] = jnp.transpose(w, (2, 1, 0))
+        jmod.bias[...] = _t2j(tmod.conv.bias)
+    elif isinstance(jmod, CausalConvTranspose1d):
+        w = _t2j(tmod.conv.weight)          # (in, out, k)
+        jmod.kernel[...] = jnp.transpose(w, (2, 1, 0))   # (k, out, in)
+        jmod.bias[...] = _t2j(tmod.conv.bias)
+    elif isinstance(jmod, ResidualLSTM):
+        lstm = tmod.lstm
+        for layer in range(jmod.num_layers):
+            jmod.w_ih[layer][...] = _t2j(getattr(lstm, f"weight_ih_l{layer}"))
+            jmod.w_hh[layer][...] = _t2j(getattr(lstm, f"weight_hh_l{layer}"))
+            jmod.b_ih[layer][...] = _t2j(getattr(lstm, f"bias_ih_l{layer}"))
+            jmod.b_hh[layer][...] = _t2j(getattr(lstm, f"bias_hh_l{layer}"))
+    elif isinstance(jmod, ResnetBlock1d):
+        tconvs = [m for m in tmod.block if type(m).__name__ == "EncodecConv1d"]
+        assert len(tconvs) == len(jmod.block)
+        for tc, jc in zip(tconvs, jmod.block):
+            _copy_codec_layer(tc, jc)
+        _copy_codec_layer(tmod.shortcut, jmod.shortcut)
+    else:  # pragma: no cover
+        raise ValueError(f"unhandled codec layer {name} -> {type(jmod).__name__}")
+
+
+# ------------------------------------------------------------------------ t5
+
+def load_t5_from_torch(torch_model, jax_model) -> None:
+    """HF ``T5EncoderModel`` -> ``v2ap_tpu.models.t5.T5Encoder``."""
+    sd = {k: _t2j(v) for k, v in torch_model.state_dict().items()}
+    jax_model.embed.embedding[...] = sd["shared.weight"]
+    for i, blk in enumerate(jax_model.blocks):
+        p = f"encoder.block.{i}.layer"
+        blk.attn.q.kernel[...] = sd[f"{p}.0.SelfAttention.q.weight"].T
+        blk.attn.k.kernel[...] = sd[f"{p}.0.SelfAttention.k.weight"].T
+        blk.attn.v.kernel[...] = sd[f"{p}.0.SelfAttention.v.weight"].T
+        blk.attn.o.kernel[...] = sd[f"{p}.0.SelfAttention.o.weight"].T
+        blk.ln1.weight[...] = sd[f"{p}.0.layer_norm.weight"]
+        if blk.attn.rel_bias is not None:
+            blk.attn.rel_bias.embedding[...] = sd[
+                f"{p}.0.SelfAttention.relative_attention_bias.weight"]
+        ff = blk.ff
+        if ff.gated:
+            ff.wi_0.kernel[...] = sd[f"{p}.1.DenseReluDense.wi_0.weight"].T
+            ff.wi_1.kernel[...] = sd[f"{p}.1.DenseReluDense.wi_1.weight"].T
+        else:
+            ff.wi.kernel[...] = sd[f"{p}.1.DenseReluDense.wi.weight"].T
+        ff.wo.kernel[...] = sd[f"{p}.1.DenseReluDense.wo.weight"].T
+        blk.ln2.weight[...] = sd[f"{p}.1.layer_norm.weight"]
+    jax_model.final_ln.weight[...] = sd["encoder.final_layer_norm.weight"]
+
+
+# ---------------------------------------------------------------------- clip
+
+def load_clip_vision_from_torch(torch_model, jax_model) -> None:
+    """HF ``CLIPVisionModelWithProjection`` ->
+    ``v2ap_tpu.models.clip_vit.CLIPVisionModel``."""
+    sd = {k: _t2j(v) for k, v in torch_model.state_dict().items()}
+    v = "vision_model"
+    # patch conv: torch (out, in, kh, kw) -> flax (kh, kw, in, out)
+    w = sd[f"{v}.embeddings.patch_embedding.weight"]
+    jax_model.patch_embed.kernel[...] = jnp.transpose(w, (2, 3, 1, 0))
+    jax_model.class_embedding[...] = sd[f"{v}.embeddings.class_embedding"]
+    jax_model.position_embedding[...] = sd[f"{v}.embeddings.position_embedding.weight"]
+    # HF's pre-layernorm attr is historically misspelled "pre_layrnorm"
+    pre = (f"{v}.pre_layrnorm" if f"{v}.pre_layrnorm.weight" in sd
+           else f"{v}.pre_layernorm")
+    jax_model.pre_layernorm.scale[...] = sd[f"{pre}.weight"]
+    jax_model.pre_layernorm.bias[...] = sd[f"{pre}.bias"]
+    for i, blk in enumerate(jax_model.blocks):
+        p = f"{v}.encoder.layers.{i}"
+        for src, dst in (("q_proj", blk.attn.q), ("k_proj", blk.attn.k),
+                         ("v_proj", blk.attn.v), ("out_proj", blk.attn.o)):
+            dst.kernel[...] = sd[f"{p}.self_attn.{src}.weight"].T
+            dst.bias[...] = sd[f"{p}.self_attn.{src}.bias"]
+        blk.ln1.scale[...] = sd[f"{p}.layer_norm1.weight"]
+        blk.ln1.bias[...] = sd[f"{p}.layer_norm1.bias"]
+        blk.ln2.scale[...] = sd[f"{p}.layer_norm2.weight"]
+        blk.ln2.bias[...] = sd[f"{p}.layer_norm2.bias"]
+        blk.mlp.fc1.kernel[...] = sd[f"{p}.mlp.fc1.weight"].T
+        blk.mlp.fc1.bias[...] = sd[f"{p}.mlp.fc1.bias"]
+        blk.mlp.fc2.kernel[...] = sd[f"{p}.mlp.fc2.weight"].T
+        blk.mlp.fc2.bias[...] = sd[f"{p}.mlp.fc2.bias"]
+    jax_model.post_layernorm.scale[...] = sd[f"{v}.post_layernorm.weight"]
+    jax_model.post_layernorm.bias[...] = sd[f"{v}.post_layernorm.bias"]
+    jax_model.visual_projection.kernel[...] = sd["visual_projection.weight"].T
