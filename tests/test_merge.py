@@ -1,0 +1,65 @@
+"""Chunked long-video generation plan + crossfade merge + wav merge tool."""
+
+import numpy as np
+
+from v2ap_tpu.pipelines.merge import (
+    chunk_plan, crossfade_concat, merge_wav_files,
+)
+from v2ap_tpu.data.audio_io import read_wav, write_wav
+
+
+def test_chunk_plan_short():
+    assert chunk_plan(5.0) == [(0.0, 5.0)]
+
+
+def test_chunk_plan_covers_duration():
+    plan = chunk_plan(25.0, chunk_s=10.0, overlap_s=1.0)
+    assert plan[0][0] == 0.0
+    assert plan[-1][1] == 25.0
+    for (s0, e0), (s1, e1) in zip(plan, plan[1:]):
+        assert s1 < e0                       # overlapping
+        assert abs((e0 - s0) - 10.0) < 1e-9  # fixed length
+
+
+def test_crossfade_concat_continuity():
+    sr = 1000
+    t = np.arange(sr, dtype=np.float32) / sr
+    tone = np.sin(2 * np.pi * 10 * t).astype(np.float32)
+    chunks = np.stack([tone, tone])
+    ov = 100
+    out = crossfade_concat(chunks, ov)
+    assert len(out) == 2 * sr - ov
+    # constant-signal crossfade of identical chunks stays bounded
+    assert np.abs(out).max() <= 1.45   # equal-power sum peak sqrt(2)
+    assert np.isfinite(out).all()
+
+
+def test_crossfade_identity_for_single_chunk():
+    x = np.random.default_rng(0).normal(size=(1, 500)).astype(np.float32)
+    np.testing.assert_array_equal(crossfade_concat(x, 10), x[0])
+
+
+def test_merge_wav_files_concat(tmp_path):
+    sr = 24_000
+    a = np.full(sr // 2, 0.1, np.float32)
+    b = np.full(sr // 2, -0.1, np.float32)
+    pa, pb = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    write_wav(pa, a, sr)
+    write_wav(pb, b, sr)
+    out = merge_wav_files([pa, pb], str(tmp_path / "out.wav"))
+    audio, sr2 = read_wav(out)
+    assert sr2 == sr
+    assert audio.shape[-1] == sr
+    assert audio[0, 100] > 0 and audio[0, -100] < 0
+
+
+def test_merge_wav_files_crossfade(tmp_path):
+    sr = 24_000
+    a = np.full(sr // 2, 0.2, np.float32)
+    b = np.full(sr // 2, 0.2, np.float32)
+    pa, pb = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    write_wav(pa, a, sr)
+    write_wav(pb, b, sr)
+    out = merge_wav_files([pa, pb], str(tmp_path / "xf.wav"), crossfade_s=0.05)
+    audio, _ = read_wav(out)
+    assert audio.shape[-1] == sr - int(0.05 * sr)

@@ -1,0 +1,116 @@
+"""End-to-end generation pipeline on tiny configs + synthetic video."""
+
+import os
+
+import numpy as np
+import pytest
+
+from v2ap_tpu import config as cfglib
+from v2ap_tpu.config import V2APConfig
+from v2ap_tpu.models.clip_vit import clip_tiny_test
+from v2ap_tpu.models.t5 import t5_tiny_test
+from v2ap_tpu.pipelines.generate import (
+    FallbackTokenizer, V2APipeline, bucket_length,
+)
+
+
+def tiny_pipeline_cfg() -> V2APConfig:
+    import dataclasses
+    cfg = cfglib.tiny_test()
+    # dim_text must match the CLIP projection dim; dim_context the T5 d_model
+    return cfg.replace(model=dataclasses.replace(
+        cfg.model, dim_text=16, dim_context=32, num_channels=8))
+
+
+def write_synthetic_video(path: str, frames: int = 12, fps: int = 4,
+                          size=(64, 48)) -> bool:
+    import cv2
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    if not w.isOpened():
+        return False
+    rng = np.random.default_rng(0)
+    for i in range(frames):
+        frame = np.full((size[1], size[0], 3), i * 20 % 255, np.uint8)
+        frame += rng.integers(0, 30, frame.shape, dtype=np.uint8)
+        w.write(frame)
+    w.release()
+    return os.path.getsize(path) > 0
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    # tiny encodec config keeps decode cheap
+    import v2ap_tpu.models.encodec as enc
+
+    orig = enc.EncodecConfig
+    cfg = tiny_pipeline_cfg()
+    pipe = V2APipeline(cfg, t5_config=t5_tiny_test(),
+                       clip_config=clip_tiny_test())
+    return pipe
+
+
+def test_bucket_length():
+    assert bucket_length(1) == 96
+    assert bucket_length(96) == 96
+    assert bucket_length(97) == 192
+
+
+def test_fallback_tokenizer_stable():
+    tok = FallbackTokenizer(100)
+    ids1, m1 = tok(["a dog barks"])
+    ids2, _ = tok(["a dog barks"])
+    np.testing.assert_array_equal(ids1, ids2)
+    assert m1[0].sum() == 4            # 3 words + eos
+
+
+def test_generate_promptless_no_video(pipeline):
+    wav, sr = pipeline.generate(None, "", duration_s=1.0, steps=2, seed=0)
+    assert sr == 24_000
+    assert wav.shape == (24_000,)
+    assert np.isfinite(wav).all()
+
+
+def test_generate_with_prompt_differs(pipeline):
+    w1, _ = pipeline.generate(None, "", duration_s=1.0, steps=2, seed=0)
+    w2, _ = pipeline.generate(None, "dog barking in the rain",
+                              duration_s=1.0, steps=2, seed=0)
+    assert not np.allclose(w1, w2)
+
+
+def test_generate_from_video(pipeline, tmp_path):
+    video = str(tmp_path / "synth.mp4")
+    if not write_synthetic_video(video):
+        pytest.skip("cv2 video writer unavailable")
+    wav, sr = pipeline.generate(video, "test", steps=2, seed=1)
+    # 12 frames @ 4 fps = 3 s video; the tiny config's max_seq_len clamps the
+    # latent length to 192 frames = 2.56 s
+    assert 2 * 24_000 < wav.shape[0] <= 3 * 24_000
+    assert np.isfinite(wav).all()
+    # feature cache written next to the video and reused
+    assert os.path.exists(str(tmp_path / "synth.generated.npz"))
+    wav2, _ = pipeline.generate(video, "test", steps=2, seed=1)
+    np.testing.assert_allclose(wav, wav2)
+
+
+def test_generate_piano_branch(pipeline, tmp_path):
+    video = str(tmp_path / "piano.mp4")
+    if not write_synthetic_video(video):
+        pytest.skip("cv2 video writer unavailable")
+    wav, sr = pipeline.generate(video, "", steps=2, piano=True, seed=2)
+    assert 2 * 24_000 < wav.shape[0] <= 3 * 24_000
+    assert np.isfinite(wav).all()
+    assert os.path.exists(str(tmp_path / "piano.generated_frames_raw.2.npz"))
+
+
+def test_generate_long_chunked(pipeline, tmp_path):
+    from v2ap_tpu.pipelines.merge import generate_long
+    video = str(tmp_path / "long.mp4")
+    if not write_synthetic_video(video, frames=20, fps=4):
+        import pytest as _pytest
+        _pytest.skip("cv2 video writer unavailable")
+    # 5 s video, 2 s chunks with 0.5 s overlap -> batched multi-chunk path
+    wav, sr = generate_long(pipeline, video, "drums", chunk_s=2.0,
+                            overlap_s=0.5, steps=2, seed=0)
+    assert sr == 24_000
+    assert abs(len(wav) - 5 * sr) <= sr // 2
+    assert np.isfinite(wav).all()

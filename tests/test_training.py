@@ -1,0 +1,159 @@
+"""Training stack: trainer step improves loss, EMA, LR schedule, DPO step,
+FactorCL contrastive losses, checkpoint roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from v2ap_tpu import config as cfglib
+from v2ap_tpu.config import TrainConfig
+from v2ap_tpu.models.cfm import CFM
+from v2ap_tpu.training import EMA, Trainer, make_lr_schedule
+from v2ap_tpu.training.contrastive import (
+    CLUBCritic, FactorCL, sample_contrastive_features,
+)
+from v2ap_tpu.training.dpo import (
+    dpo_pair_loss, make_dpo_train_step, per_sample_flow_loss,
+)
+from v2ap_tpu.utils.jitting import create_model
+
+
+def build_model():
+    cfg = cfglib.tiny_test()
+    model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
+                                     with_video2roll=False, rngs=nnx.Rngs(0)))
+    return cfg, model
+
+
+def make_batch(cfg, b=2, n=32, nc=4, seed=0):
+    rng = np.random.default_rng(seed)
+    r = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    return {
+        "latents": r(b, n, cfg.model.num_channels),
+        "lens": jnp.full((b,), n, jnp.int32),
+        "text_embed": r(b, n, cfg.model.dim_text),
+        "context": r(b, nc, cfg.model.dim_context),
+        "context_mask": jnp.ones((b, nc), bool),
+    }
+
+
+def test_lr_schedule_shape():
+    cfg = TrainConfig(learning_rate=1e-4, warmup_steps=10, decay_steps=100)
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) < float(sched(10))
+    np.testing.assert_allclose(float(sched(10)), 1e-4, rtol=1e-5)
+    assert float(sched(60)) < 1e-4
+
+
+def test_trainer_loss_decreases():
+    cfg, model = build_model()
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3, warmup_steps=1,
+                                         decay_steps=1000))
+    batch = make_batch(cfg)
+    losses = []
+    for i in range(8):
+        loss, _ = trainer.train_step(jax.random.key(42), batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_eval_step_deterministic():
+    cfg, model = build_model()
+    trainer = Trainer(model)
+    batch = make_batch(cfg)
+    l1, _ = trainer.eval_step(jax.random.key(0), batch)
+    l2, _ = trainer.eval_step(jax.random.key(0), batch)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_ema_tracks_params():
+    cfg, model = build_model()
+    ema = EMA(model, decay=0.5)
+    before = np.asarray(ema.shadow.proj_in.kernel[...]).copy()
+    model.proj_in.kernel[...] = model.proj_in.kernel[...] + 1.0
+    ema.update(model)
+    after = np.asarray(ema.shadow.proj_in.kernel[...])
+    np.testing.assert_allclose(after, before + 0.5, atol=1e-5)
+
+
+def test_per_sample_flow_loss_and_dpo_pair():
+    pred = jnp.zeros((2, 4, 3))
+    flow = jnp.ones((2, 4, 3))
+    span = jnp.asarray([[True, True, False, False], [True] * 4])
+    losses = per_sample_flow_loss(pred, flow, span)
+    np.testing.assert_allclose(losses, [1.0, 1.0])
+    # identical pair deltas -> -logsigmoid(0) = log 2
+    val = dpo_pair_loss(jnp.asarray(1.0), jnp.asarray(2.0),
+                        jnp.asarray(1.0), jnp.asarray(2.0))
+    np.testing.assert_allclose(float(val), np.log(2.0), rtol=1e-5)
+
+
+def test_dpo_train_step_runs():
+    cfg, model = build_model()
+    ref = create_model(lambda: CFM(cfg.model, cfg.conditioning,
+                                   with_video2roll=False, rngs=nnx.Rngs(1)))
+    import optax
+    opt = nnx.Optimizer(model, optax.adam(1e-4), wrt=nnx.Param)
+    step = make_dpo_train_step()
+    batch = make_batch(cfg, b=4)
+    loss, loss_fm, loss_dpo = step(model, ref, opt, jax.random.key(0), batch)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(loss_dpo))
+
+
+def test_club_critic_bounds():
+    critic = create_model(lambda: CLUBCritic(8, 8, hidden=16, rngs=nnx.Rngs(0)))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(6, 8)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(6, 8)), jnp.float32)
+    club = float(critic.club(x, y))
+    nce = float(critic.infonce_learning_loss(x, y))
+    assert np.isfinite(club) and np.isfinite(nce)
+
+
+def test_factorcl_loss_and_feature_sampling():
+    fcl = create_model(lambda: FactorCL(16, 24, num_labels=6, rngs=nnx.Rngs(0)))
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(6, 16)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(6, 24)), jnp.float32)
+    labels = jnp.arange(6)
+    loss = float(fcl(a, b, labels))
+    learn = float(fcl.learning_loss(a, b, labels))
+    assert np.isfinite(loss) and np.isfinite(learn)
+
+    audio = jnp.asarray(rng.normal(size=(8, 20, 16)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(8, 20, 24)), jnp.float32)
+    fa, fb, lab = sample_contrastive_features(audio, text, num_registers=4,
+                                              rng=jax.random.key(0))
+    assert fa.shape == (6, 16) and fb.shape == (6, 24)
+    assert lab.tolist() == [0, 1, 2, 3, 4, 5]
+
+
+def test_transformer_hidden_collection():
+    from v2ap_tpu.models.transformer import TriStreamTransformer
+    mc = cfglib.tiny_test().model
+    model = create_model(lambda: TriStreamTransformer(mc, rngs=nnx.Rngs(0)))
+    rng = np.random.default_rng(0)
+    r = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    out, (ah, th) = model(
+        r(2, 16, mc.dim), times=jnp.asarray([0.1, 0.2]),
+        mask=jnp.ones((2, 16), bool), text_embed=r(2, 16, mc.dim_text),
+        frames_embed=r(2, 16, mc.dim_frames), context=r(2, 4, mc.dim_context),
+        context_mask=jnp.ones((2, 4), bool), collect_hidden_layer=1)
+    assert out.shape == (2, 16, mc.dim)
+    assert ah.shape == (2, 16 + mc.num_registers, mc.dim)
+    assert th.shape == (2, 16 + mc.num_registers, mc.dim_text)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from v2ap_tpu.utils.checkpoint import load_model, save_model
+    cfg, model = build_model()
+    model.proj_in.kernel[...] = model.proj_in.kernel[...] * 0 + 7.0
+    path = str(tmp_path / "ckpt")
+    save_model(path, model, step=123)
+    cfg2, model2 = build_model()
+    model2.proj_in.kernel[...] = model2.proj_in.kernel[...] * 0
+    step = load_model(path, model2)
+    assert step == 123
+    np.testing.assert_allclose(np.asarray(model2.proj_in.kernel[...]), 7.0)

@@ -25,10 +25,16 @@ TARGET_FRAMES = 750          # 10 s of 75 Hz latent frames
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Decode a PCM WAV file -> (float32 (ch, n) in [-1, 1], sample_rate).
 
-    Pure-stdlib RIFF reader (no ffmpeg in this environment); 16/24/32-bit PCM
-    and float32 supported. Other containers should be transcoded offline or
-    decoded via the optional cv2 path in video_io.
+    Native C++ fast path when the v2ap_native library is built; otherwise a
+    pure-stdlib RIFF reader. 16/24/32-bit PCM and float32 supported; other
+    containers should be transcoded offline or decoded via cv2 in video_io.
     """
+    from v2ap_tpu import native
+    if native.available():
+        with open(path, "rb") as f:
+            out = native.wav_decode(f.read())
+        if out is not None:
+            return out
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         ch = w.getnchannels()
@@ -99,10 +105,17 @@ def frame_energy(audio: np.ndarray, hop: int = HOP_SIZE) -> np.ndarray:
 def select_max_energy_segment(audio: np.ndarray, target_frames: int,
                               hop: int = HOP_SIZE) -> np.ndarray:
     """Sliding-window max-energy crop at hop granularity
-    (reference torch_tools.py:346-365, rewritten as a vectorised prefix-sum)."""
+    (reference torch_tools.py:346-365, rewritten as a vectorised prefix-sum;
+    C++ fast path when the native library is built)."""
     total = audio.shape[-1] // hop
     if total <= target_frames:
         return pad_or_repeat(audio, target_frames * hop)
+    from v2ap_tpu import native
+    if native.available():
+        start = native.max_energy_start(
+            np.ascontiguousarray(audio[0]), hop, target_frames)
+        if start is not None:
+            return audio[..., start * hop: (start + target_frames) * hop]
     e = frame_energy(audio, hop)
     csum = np.concatenate([[0.0], np.cumsum(e)])
     window = csum[target_frames:] - csum[:-target_frames]   # sums of windows

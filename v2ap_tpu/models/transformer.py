@@ -210,6 +210,7 @@ class TriStreamTransformer(nnx.Module):
         context: jnp.ndarray | None = None,        # (b, nc, dim_context)
         context_mask: jnp.ndarray | None = None,   # (b, nc)
         deterministic: bool = True,
+        collect_hidden_layer: int | None = None,   # 1-based; for FactorCL
     ) -> jnp.ndarray:
         cfg = self.cfg
         b, n, _ = x.shape
@@ -238,6 +239,7 @@ class TriStreamTransformer(nnx.Module):
         rot_frames = rope_table(total, cfg.frames_dim_head)
 
         skips = []
+        collected = None
         for ind in range(cfg.depth):
             text_block = self.text_blocks[ind]
             if text_block is not None:
@@ -246,6 +248,11 @@ class TriStreamTransformer(nnx.Module):
                 frames_embed = self.frames_blocks[ind](
                     frames_embed, rotary=rot_frames, mask=mask,
                     deterministic=deterministic)
+                if collect_hidden_layer == ind + 1:
+                    # FactorCL tap: (audio, clip-stream) hiddens before the
+                    # cross-condition fusion (reference e2_tts_crossatt6.py
+                    # contrastive block at layer 1)
+                    collected = (x, text_embed)
                 x, text_embed, frames_embed = self.cross_conditions[ind](
                     x, text_embed, frames_embed)
 
@@ -263,4 +270,7 @@ class TriStreamTransformer(nnx.Module):
 
         assert not skips
         x = x[:, r:]
-        return self.final_norm(x)
+        out = self.final_norm(x)
+        if collect_hidden_layer is not None:
+            return out, collected
+        return out

@@ -1,0 +1,128 @@
+"""ctypes bindings for the native host-pipeline library (v2ap_native.cpp).
+
+The library builds on demand (g++, ~1 s) and every entry point has a numpy
+fallback in the pure-python data modules, so the framework degrades
+gracefully on hosts without a toolchain. Use :func:`available` to check and
+:func:`lib` to access the loaded CDLL.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libv2ap_native.so")
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> bool:
+    src = os.path.join(_DIR, "v2ap_native.cpp")
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        L = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    c_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    c_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    L.wav_decode.restype = ctypes.c_int
+    L.wav_decode.argtypes = [
+        c_u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_void_p, ctypes.c_int64]
+    L.resample_poly.restype = ctypes.c_int64
+    L.resample_poly.argtypes = [c_f32p, ctypes.c_int64, ctypes.c_int32,
+                                ctypes.c_int32, ctypes.c_int32, c_f32p,
+                                ctypes.c_int64]
+    L.frame_energy.restype = None
+    L.frame_energy.argtypes = [c_f32p, ctypes.c_int64, ctypes.c_int32, c_f32p]
+    L.max_energy_start.restype = ctypes.c_int64
+    L.max_energy_start.argtypes = [c_f32p, ctypes.c_int64, ctypes.c_int32,
+                                   ctypes.c_int64]
+    L.gray_resize.restype = None
+    L.gray_resize.argtypes = [c_u8p, ctypes.c_int32, ctypes.c_int32,
+                              ctypes.c_int32, ctypes.c_int32, c_f32p]
+    _LIB = L
+    return _LIB
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+# ---------------------------------------------------------------- wrappers
+
+def wav_decode(data: bytes):
+    """bytes -> (float32 (ch, n), sample_rate) or None if unsupported."""
+    L = lib()
+    if L is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    rc = L.wav_decode(buf, len(buf), ctypes.byref(sr), ctypes.byref(ch),
+                      ctypes.byref(frames), None, 0)
+    if rc != 0:
+        return None
+    out = np.empty(frames.value * ch.value, np.float32)
+    rc = L.wav_decode(buf, len(buf), ctypes.byref(sr), ctypes.byref(ch),
+                      ctypes.byref(frames),
+                      out.ctypes.data_as(ctypes.c_void_p), out.size)
+    if rc != 0:
+        return None
+    return out.reshape(frames.value, ch.value).T.copy(), int(sr.value)
+
+
+def resample_poly(x: np.ndarray, up: int, down: int,
+                  half_taps: int = 32) -> Optional[np.ndarray]:
+    L = lib()
+    if L is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    out_len = (len(x) * up + down - 1) // down
+    out = np.empty(out_len, np.float32)
+    n = L.resample_poly(x, len(x), up, down, half_taps, out, out_len)
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def max_energy_start(x: np.ndarray, hop: int, target_frames: int) -> Optional[int]:
+    L = lib()
+    if L is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    total = len(x) // hop
+    return int(L.max_energy_start(x, total, hop, target_frames))
+
+
+def gray_resize(rgb: np.ndarray, out_h: int, out_w: int) -> Optional[np.ndarray]:
+    L = lib()
+    if L is None:
+        return None
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w, _ = rgb.shape
+    out = np.empty((out_h, out_w), np.float32)
+    L.gray_resize(rgb, h, w, out_h, out_w, out)
+    return out

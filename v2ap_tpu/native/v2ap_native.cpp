@@ -1,0 +1,201 @@
+// v2ap_native: host-side data-loader hot loops in C++.
+//
+// The reference leans on torchaudio/moviepy/PIL C extensions for its data
+// path (SURVEY §2.6); this library supplies the equivalent native fast paths
+// for the TPU framework's host pipeline, exposed via a C ABI consumed with
+// ctypes (no pybind11 in this toolchain):
+//
+//   * wav_decode        — RIFF/PCM WAV reader (16/24/32-bit int, float32)
+//   * resample_poly     — windowed-sinc rational (polyphase) resampler
+//   * max_energy_start  — sliding-window max-energy segment selection
+//   * gray_resize       — RGB -> grayscale + bilinear resize (piano strips)
+//   * frame_energy      — per-hop mean |x| energies
+//
+// Build: scripts/build_native.sh (g++ -O3 -march=native -shared -fPIC).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------- wav decode
+
+// Parses a RIFF WAV from `bytes`. On success writes sample rate / channels /
+// frame count through the out params and fills `out` (interleaved float32,
+// caller-allocated with capacity `out_capacity` floats). Returns 0 on
+// success, negative error codes otherwise. Call with out == nullptr to query
+// the required capacity first.
+int wav_decode(const uint8_t* bytes, int64_t n_bytes,
+               int32_t* sample_rate, int32_t* channels, int64_t* frames,
+               float* out, int64_t out_capacity) {
+    if (n_bytes < 44 || memcmp(bytes, "RIFF", 4) || memcmp(bytes + 8, "WAVE", 4))
+        return -1;
+    int64_t pos = 12;
+    int fmt = 0, ch = 0, sr = 0, bits = 0;
+    const uint8_t* data = nullptr;
+    int64_t data_len = 0;
+    while (pos + 8 <= n_bytes) {
+        const uint8_t* hdr = bytes + pos;
+        uint32_t size;
+        memcpy(&size, hdr + 4, 4);
+        const uint8_t* body = hdr + 8;
+        if (!memcmp(hdr, "fmt ", 4) && size >= 16) {
+            uint16_t f, c; uint32_t s; uint16_t b;
+            memcpy(&f, body, 2); memcpy(&c, body + 2, 2);
+            memcpy(&s, body + 4, 4); memcpy(&b, body + 14, 2);
+            fmt = f; ch = c; sr = (int)s; bits = b;
+            if (fmt == 0xFFFE && size >= 40) {  // WAVE_FORMAT_EXTENSIBLE
+                uint16_t sub; memcpy(&sub, body + 24, 2);
+                fmt = sub;
+            }
+        } else if (!memcmp(hdr, "data", 4)) {
+            data = body;
+            data_len = std::min<int64_t>((int64_t)size, n_bytes - pos - 8);
+        }
+        pos += 8 + size + (size & 1);
+    }
+    if (!data || !ch || !sr) return -2;
+    int bytes_per = bits / 8;
+    int64_t total = data_len / bytes_per;
+    int64_t nframes = total / ch;
+    *sample_rate = sr; *channels = ch; *frames = nframes;
+    if (!out) return 0;
+    if (out_capacity < total) return -3;
+
+    if (fmt == 1 && bits == 16) {
+        const int16_t* p = (const int16_t*)data;
+        for (int64_t i = 0; i < total; ++i) out[i] = p[i] / 32768.0f;
+    } else if (fmt == 1 && bits == 32) {
+        const int32_t* p = (const int32_t*)data;
+        for (int64_t i = 0; i < total; ++i) out[i] = p[i] / 2147483648.0f;
+    } else if (fmt == 1 && bits == 24) {
+        for (int64_t i = 0; i < total; ++i) {
+            const uint8_t* b = data + 3 * i;
+            int32_t v = (b[0] | (b[1] << 8) | (b[2] << 16));
+            if (v & 0x800000) v -= 0x1000000;
+            out[i] = v / 8388608.0f;
+        }
+    } else if (fmt == 3 && bits == 32) {
+        memcpy(out, data, total * 4);
+    } else {
+        return -4;
+    }
+    return 0;
+}
+
+// ------------------------------------------------------------- resampling
+
+// Polyphase windowed-sinc resampler: in (n,) float32 at rate up/down.
+// Output length = ceil(n * up / down); returns samples written.
+int64_t resample_poly(const float* in, int64_t n, int32_t up, int32_t down,
+                      int32_t half_taps, float* out, int64_t out_capacity) {
+    if (up == down) {
+        int64_t m = std::min(n, out_capacity);
+        memcpy(out, in, m * sizeof(float));
+        return m;
+    }
+    const double cutoff = 0.5 / std::max(up, down);
+    const int64_t out_len = (n * up + down - 1) / down;
+    if (out_capacity < out_len) return -1;
+    const int taps_per_phase = 2 * half_taps;
+    // filter bank: phase p, tap t -> h[(t*up + p)] of the prototype
+    std::vector<float> proto((size_t)taps_per_phase * up);
+    const int64_t M = (int64_t)taps_per_phase * up;
+    for (int64_t i = 0; i < M; ++i) {
+        double x = (double)(i - M / 2);
+        double sinc = (x == 0.0) ? 1.0
+            : std::sin(2.0 * M_PI * cutoff * x) / (M_PI * x) / (2.0 * cutoff);
+        // Blackman window
+        double w = 0.42 - 0.5 * std::cos(2.0 * M_PI * i / (M - 1))
+                 + 0.08 * std::cos(4.0 * M_PI * i / (M - 1));
+        proto[i] = (float)(2.0 * cutoff * up * sinc * w);
+    }
+    for (int64_t k = 0; k < out_len; ++k) {
+        const int64_t num = k * down;
+        const int64_t in_center = num / up;
+        const int phase = (int)(num % up);
+        double acc = 0.0;
+        // taps for this phase: proto[t*up + (up-1-phase)]... use direct form:
+        for (int t = 0; t < taps_per_phase; ++t) {
+            int64_t h_idx = (int64_t)t * up + phase;
+            int64_t s = in_center + half_taps - t;
+            if (s >= 0 && s < n) acc += (double)proto[h_idx] * in[s];
+        }
+        out[k] = (float)acc;
+    }
+    return out_len;
+}
+
+// -------------------------------------------------- segment selection
+
+// Per-hop mean-abs energies: in (n*hop,) -> energies (n,)
+void frame_energy(const float* in, int64_t n_frames, int32_t hop, float* out) {
+    for (int64_t i = 0; i < n_frames; ++i) {
+        double acc = 0.0;
+        const float* p = in + i * hop;
+        for (int32_t j = 0; j < hop; ++j) acc += std::fabs(p[j]);
+        out[i] = (float)(acc / hop);
+    }
+}
+
+// Max-energy window start (in hops) for a target of `target` hops.
+int64_t max_energy_start(const float* in, int64_t total_frames, int32_t hop,
+                         int64_t target) {
+    if (target >= total_frames) return 0;
+    std::vector<double> e(total_frames);
+    for (int64_t i = 0; i < total_frames; ++i) {
+        double acc = 0.0;
+        const float* p = in + i * hop;
+        for (int32_t j = 0; j < hop; ++j) acc += std::fabs(p[j]);
+        e[i] = acc / hop;
+    }
+    double best = 0.0, cur = 0.0;
+    for (int64_t i = 0; i < target; ++i) cur += e[i];
+    best = cur;
+    int64_t best_start = 0;
+    for (int64_t s = 1; s + target <= total_frames; ++s) {
+        cur += e[s + target - 1] - e[s - 1];
+        if (cur > best) { best = cur; best_start = s; }
+    }
+    return best_start;
+}
+
+// ------------------------------------------------------ piano frame prep
+
+// RGB uint8 (h, w, 3) -> grayscale bilinear-resized float32 (out_h, out_w)
+// in [0, 1] (ITU-R 601 luma, matching PIL convert('L') / cv2).
+void gray_resize(const uint8_t* rgb, int32_t h, int32_t w,
+                 int32_t out_h, int32_t out_w, float* out) {
+    std::vector<float> gray((size_t)h * w);
+    for (int64_t i = 0; i < (int64_t)h * w; ++i) {
+        const uint8_t* p = rgb + 3 * i;
+        gray[i] = (299 * p[0] + 587 * p[1] + 114 * p[2]) / 1000.0f;
+    }
+    const float sy = (float)h / out_h;
+    const float sx = (float)w / out_w;
+    for (int32_t y = 0; y < out_h; ++y) {
+        float fy = (y + 0.5f) * sy - 0.5f;
+        int32_t y0 = std::max(0, std::min(h - 1, (int32_t)std::floor(fy)));
+        int32_t y1 = std::min(h - 1, y0 + 1);
+        float wy = fy - y0;
+        if (wy < 0) wy = 0;
+        for (int32_t x = 0; x < out_w; ++x) {
+            float fx = (x + 0.5f) * sx - 0.5f;
+            int32_t x0 = std::max(0, std::min(w - 1, (int32_t)std::floor(fx)));
+            int32_t x1 = std::min(w - 1, x0 + 1);
+            float wx = fx - x0;
+            if (wx < 0) wx = 0;
+            float v = gray[(size_t)y0 * w + x0] * (1 - wy) * (1 - wx)
+                    + gray[(size_t)y0 * w + x1] * (1 - wy) * wx
+                    + gray[(size_t)y1 * w + x0] * wy * (1 - wx)
+                    + gray[(size_t)y1 * w + x1] * wy * wx;
+            out[(size_t)y * out_w + x] = v / 255.0f;
+        }
+    }
+}
+
+}  // extern "C"

@@ -34,7 +34,7 @@ class RMSNorm(nnx.Module):
     def __call__(self, x: jnp.ndarray, **_) -> jnp.ndarray:
         dtype = x.dtype
         x = x.astype(jnp.float32)
-        out = _l2_normalize(x) * self.scale * self.g.value
+        out = _l2_normalize(x) * self.scale * self.g[...]
         return out.astype(dtype)
 
 

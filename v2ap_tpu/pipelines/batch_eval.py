@@ -1,0 +1,73 @@
+"""Batch evaluation over scp manifests (the working version of the
+reference's src/inference_v2a.py / inference_v2p.py CLIs).
+
+Iterates manifest rows [start:end], generates audio per clip, writes wavs
+(+ muxed videos when a muxer exists), and records timing. The reference's
+collate-path bug (2-arg ``encode_video_frames`` call, SURVEY §1) does not
+exist here — the pipeline API is the single entry for both serving and eval.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from v2ap_tpu.data.manifests import load_corpus, CorpusSpec
+
+
+def run_batch_eval(
+    pipeline,
+    scp_path: str,
+    out_dir: str,
+    *,
+    start: int = 0,
+    end: Optional[int] = None,
+    steps: int = 64,
+    cfg_strength: float = 2.0,
+    drop_prompt: bool = False,
+    piano: bool = False,
+    seed: int = 0,
+    mux: bool = True,
+) -> dict:
+    """Returns a summary dict: clips attempted/succeeded, realtime factor."""
+    from v2ap_tpu.data.audio_io import write_wav
+    from v2ap_tpu.data.video_io import mux_audio_onto_video
+
+    samples = load_corpus(CorpusSpec("eval", scp_path, is_video=True,
+                                     is_piano=piano))
+    samples = samples[start:end]
+    os.makedirs(out_dir, exist_ok=True)
+
+    done, failed = 0, 0
+    audio_s, wall_s = 0.0, 0.0
+    for i, sample in enumerate(samples):
+        prompt = "" if drop_prompt else sample.caption
+        t0 = time.perf_counter()
+        try:
+            wav, sr = pipeline.generate(
+                sample.path, prompt, steps=steps, cfg_strength=cfg_strength,
+                piano=piano, seed=seed + i)
+        except Exception as exc:  # bad clip: record and continue (SURVEY §5.3)
+            failed += 1
+            print(f"[batch_eval] FAILED {sample.path}: {exc}")
+            continue
+        wall_s += time.perf_counter() - t0
+        audio_s += len(wav) / sr
+        stem = os.path.splitext(os.path.basename(sample.path))[0]
+        wav_path = os.path.join(out_dir, f"{stem}.wav")
+        write_wav(wav_path, wav, sr)
+        if mux:
+            mux_audio_onto_video(sample.path, wav, sr,
+                                 os.path.join(out_dir, f"{stem}.mp4"))
+        done += 1
+
+    summary = {
+        "clips": len(samples), "succeeded": done, "failed": failed,
+        "audio_seconds": round(audio_s, 2), "wall_seconds": round(wall_s, 2),
+        "realtime_factor": round(audio_s / wall_s, 3) if wall_s else None,
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

@@ -76,7 +76,7 @@ class V2APipeline:
 
     def __init__(self, cfg: V2APConfig | None = None, *, seed: int = 0,
                  tokenizer_path: Optional[str] = None,
-                 t5_config=None, clip_config=None):
+                 t5_config=None, clip_config=None, encodec_config=None):
         import jax
         import jax.numpy as jnp
         from flax import nnx
@@ -93,14 +93,31 @@ class V2APipeline:
 
         self.t5_cfg = t5_config or flan_t5_large()
         self.clip_cfg = clip_config or clip_vit_bigg()
+        if encodec_config is None:
+            from v2ap_tpu.models.encodec import EncodecConfig
+            encodec_config = EncodecConfig()
+            if self.cfg.model.num_channels != encodec_config.hidden_size:
+                # miniature configs: shrink the codec to the latent width
+                import dataclasses as _dc
+                encodec_config = _dc.replace(
+                    encodec_config, hidden_size=self.cfg.model.num_channels,
+                    num_filters=4, upsampling_ratios=(8, 5, 4, 2),
+                    num_lstm_layers=1)
+        self.codec_cfg = encodec_config
 
         self.cfm = create_model(lambda: CFM(
             self.cfg.model, self.cfg.conditioning, rngs=nnx.Rngs(seed)))
-        self.codec = create_model(lambda: EncodecModel(rngs=nnx.Rngs(seed + 1)))
+        self.codec = create_model(lambda: EncodecModel(self.codec_cfg,
+                                                       rngs=nnx.Rngs(seed + 1)))
         self.t5 = create_model(lambda: T5Encoder(self.t5_cfg,
                                                  rngs=nnx.Rngs(seed + 2)))
         self.clip = create_model(lambda: CLIPVisionModel(
             self.clip_cfg, rngs=nnx.Rngs(seed + 3)))
+        # frozen encoders live in bf16 on device (memory: bigG ~7 GB in f32)
+        if jnp.dtype(self.cfg.model.dtype) == jnp.bfloat16:
+            from v2ap_tpu.utils.jitting import cast_params
+            cast_params(self.t5, jnp.bfloat16)
+            cast_params(self.clip, jnp.bfloat16)
 
         self.tokenize = load_t5_tokenizer(tokenizer_path, self.t5_cfg.vocab_size)
 
@@ -221,7 +238,12 @@ class V2APipeline:
         if duration_s is None:
             duration_s = min(video_duration or 10.0, max_duration_s)
         n_valid = int(round(duration_s * sr / cond.frame_size))
-        n = bucket_length(n_valid)
+        # hard ceiling: seq + registers must fit the abs-pos table
+        max_n = ((self.cfg.model.max_seq_len - self.cfg.model.num_registers)
+                 // 96) * 96
+        n_valid = min(n_valid, max_n)
+        duration_s = min(duration_s, n_valid * cond.frame_size / sr)
+        n = min(bucket_length(n_valid), max_n)
 
         b = 1
         if text_embed_np is not None:

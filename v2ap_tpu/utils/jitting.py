@@ -32,3 +32,16 @@ def create_model(factory: Callable[[], M]) -> M:
     """Build an nnx model with all param initialisation fused into one jitted
     program (vastly faster than eager per-param init)."""
     return nnx.jit(factory)()
+
+
+def cast_params(model: nnx.Module, dtype) -> None:
+    """Cast every float Param of an nnx model in place (frozen encoder stacks
+    are stored bf16 on device: CLIP ViT-bigG alone is ~7 GB in f32)."""
+    import jax.numpy as jnp
+
+    state = nnx.state(model, nnx.Param)
+    def conv(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    nnx.update(model, jax.tree.map(conv, state))
