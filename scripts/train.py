@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+    python scripts/train.py --corpora-root /data/scps --steps 100000 \
+        --batch-size 8 --work-dir runs/v2a
+
+Builds the corpus mix (manifests.default_corpora), the host batcher, and the
+TrainingPipeline (device encoders + sharded CFM train step + resilience loop).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpora-root", required=True)
+    ap.add_argument("--steps", type=int, default=100_000)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--work-dir", default="runs/v2ap")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--host-id", type=int,
+                    default=int(os.environ.get("V2AP_HOST_ID", 0)))
+    ap.add_argument("--num-hosts", type=int,
+                    default=int(os.environ.get("V2AP_NUM_HOSTS", 1)))
+    args = ap.parse_args()
+
+    from v2ap_tpu.utils.jitting import enable_compile_cache
+    enable_compile_cache()
+    from v2ap_tpu.config import V2APConfig
+    from v2ap_tpu.data import TrainBatcher, default_corpora, load_corpora
+    from v2ap_tpu.training.pipeline import TrainingPipeline
+
+    samples = load_corpora(default_corpora(args.corpora_root))
+    if not samples:
+        print(f"no samples found under {args.corpora_root}", file=sys.stderr)
+        return 2
+    batcher = TrainBatcher(samples, batch_size=args.batch_size,
+                           host_id=args.host_id, num_hosts=args.num_hosts,
+                           seed=args.seed)
+    pipeline = TrainingPipeline(V2APConfig(), seed=args.seed,
+                                work_dir=args.work_dir)
+    final = pipeline.fit(batcher, num_steps=args.steps, seed=args.seed)
+    print(f"finished at step {final}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -122,3 +122,24 @@ def test_encode_frames_piano_branch():
     # first 12 rows are the 4 frames x3-repeated; rest zero-padded
     np.testing.assert_allclose(np.asarray(roll[0, 12:]), 0.0, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(roll[0, 0]), np.asarray(roll[0, 2]))
+
+
+def test_encode_frames_88key_fractional_rate():
+    """88-key variant: video_multi 2.5 -> 4 frames become 10 roll rows."""
+    import dataclasses
+    cfg = cfglib.v2p_88key()
+    mc = dataclasses.replace(
+        cfg.model, dim=64, depth=2, heads=2, dim_head=32, dim_text=48,
+        text_heads=2, text_dim_head=32, text_depth=2, dim_frames=32,
+        frames_heads=2, frames_dim_head=16, max_seq_len=128, kernel_size=7,
+        num_registers=4, num_channels=16, dim_context=32, dtype="float32")
+    assert mc.video_multi == 2.5 and mc.notes == 88
+    model = create_model(lambda: CFM(mc, cfg.conditioning,
+                                     with_video2roll=True, rngs=nnx.Rngs(0)))
+    frames = jnp.asarray(
+        np.random.default_rng(0).random((1, 4, 100, 900)), jnp.float32)
+    roll = nnx.jit(lambda m, f: m.encode_frames(f, 12))(model, frames)
+    assert roll.shape == (1, 12, 88)
+    # 4 frames * 2.5 = 10 valid rows, 2 zero-padded
+    np.testing.assert_allclose(np.asarray(roll[0, 10:]), 0.0, atol=1e-7)
+    assert float(np.abs(np.asarray(roll[0, :10])).sum()) > 0

@@ -69,3 +69,115 @@ def test_melspectrogram_shape_only():
     assert mel.shape[0] == 2 and mel.shape[2] == 100
     # log floor for silence
     np.testing.assert_allclose(np.asarray(mel), np.log(1e-5), atol=1e-4)
+
+
+def test_interpolated_character_embed():
+    from v2ap_tpu.models.duration import InterpolatedCharacterEmbed
+    emb = create_model(lambda: InterpolatedCharacterEmbed(8, rngs=nnx.Rngs(0)))
+    tokens = jnp.asarray([[5, 9, 2, -1, -1], [7, -1, -1, -1, -1]], jnp.int32)
+    out = emb(tokens, 12)
+    assert out.shape == (2, 12, 8)
+    assert bool(jnp.isfinite(out).all())
+    # masked variant zeroes the padding rows
+    mask = jnp.asarray([[True] * 6 + [False] * 6, [True] * 12])
+    out2 = emb(tokens, 12, mask=mask)
+    np.testing.assert_allclose(np.asarray(out2[0, 6:]), 0.0, atol=1e-7)
+
+
+def test_piano_coords_registry(tmp_path):
+    from v2ap_tpu.audeo import piano_coords as pc
+    pc.register("vid1", (10, 60, 0, 200))
+    assert pc.get("vid1") == (10, 60, 0, 200)
+    path = str(tmp_path / "coords.json")
+    pc.save_registry(path)
+    pc._REGISTRY.clear()
+    assert pc.load_registry(path) >= 1
+    frames = np.zeros((3, 100, 300, 3), np.uint8)
+    cropped = pc.crop_keyboard(frames, pc.get("vid1"))
+    assert cropped.shape == (3, 50, 200, 3)
+
+
+def test_tacotron_mel_shape():
+    from v2ap_tpu.ops.melspec import tacotron_mel
+    wav = jnp.zeros((1, 16_000))
+    mel = tacotron_mel(wav)
+    assert mel.shape[0] == 1 and mel.shape[2] == 64
+
+
+def test_clap_filter_interface():
+    from v2ap_tpu.data import clap_filter as cf
+    s, keep = cf.passes(np.zeros((1, 1000), np.float32), 24_000, "x", 0.3)
+    assert keep and s is None            # no scorer -> everything passes
+    cf.set_scorer(lambda wav, cap: 0.9 if "dog" in cap else 0.1)
+    try:
+        s, keep = cf.passes(np.zeros((1, 1000), np.float32), 24_000,
+                            "dog barks", 0.3)
+        assert keep and s == 0.9
+        s, keep = cf.passes(np.zeros((1, 1000), np.float32), 24_000,
+                            "cat", 0.3)
+        assert not keep and s == 0.1
+    finally:
+        cf.set_scorer(None)
+
+
+def test_roll2midi_infer(tmp_path):
+    import jax.numpy as jnp2
+
+    class FakeGen:
+        def __call__(self, x):
+            return x                      # identity "cleanup"
+
+    rng = np.random.default_rng(0)
+    logits = [rng.normal(size=(50, 88)).astype(np.float32) * 3 for _ in range(4)]
+    from v2ap_tpu.audeo.datasets import roll2midi_infer
+    outs = roll2midi_infer(FakeGen(), logits, out_dir=str(tmp_path / "midi"))
+    assert len(outs) == 4
+    assert outs[0].shape == (50, 88)
+    import os
+    assert os.path.exists(str(tmp_path / "midi" / "0-50.npz"))
+    assert outs[0][:, :15].sum() == 0
+
+
+def test_frechet_distance_identity_and_shift():
+    from v2ap_tpu.evaluation.metrics import (
+        fad_from_embeddings, frechet_distance, embedding_stats)
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 8))
+    assert abs(fad_from_embeddings(a, a.copy())) < 1e-6
+    b = a + 3.0                                   # mean shift of 3 per dim
+    d = fad_from_embeddings(a, b)
+    np.testing.assert_allclose(d, 8 * 9.0, rtol=0.05)
+    # scale mismatch also contributes
+    c = a * 2.0
+    assert fad_from_embeddings(a, c) > 0.5
+
+
+def test_fad_requires_embedder():
+    from v2ap_tpu.evaluation import metrics
+    metrics.set_embedder(None)
+    with pytest.raises(RuntimeError):
+        metrics.fad([np.zeros(100)], [np.zeros(100)])
+    metrics.set_embedder(lambda w, sr: np.asarray([[w.mean(), w.std()]]))
+    try:
+        val = metrics.fad([np.random.default_rng(0).normal(size=1000)
+                           for _ in range(8)],
+                          [np.random.default_rng(1).normal(size=1000) * 1.1
+                           for _ in range(8)])
+        assert np.isfinite(val) and val >= 0
+    finally:
+        metrics.set_embedder(None)
+
+
+def test_predictor_tiny(tmp_path):
+    from predict import Predictor
+    from tests.test_pipeline import write_synthetic_video
+    video = str(tmp_path / "p.mp4")
+    if not write_synthetic_video(video, frames=6, fps=4):
+        pytest.skip("cv2 writer unavailable")
+    p = Predictor(tiny=True)
+    p.setup()
+    out = p.predict(video, "ping", v2a_num_steps=2,
+                    out_dir=str(tmp_path / "out"))
+    import os
+    assert os.path.exists(out)
+    assert out.endswith(".wav") or out.endswith(".mp4")

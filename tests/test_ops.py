@@ -181,3 +181,16 @@ def test_lens_and_span_masks():
     span = mask_from_frac_lengths(lens, jnp.asarray([1.0, 0.5]), 6,
                                   jnp.asarray([0.0, 0.0]))
     assert span[0].sum() == 3 and span[1].sum() == 2
+
+
+def test_midpoint_and_heun_more_accurate_than_euler():
+    import jax.numpy as jnp
+    ts = jnp.linspace(0.0, 1.0, 11)
+    fn = lambda t, y: -y
+    exact = np.exp(-1.0)
+    for method, tol in (("euler", 0.06), ("midpoint", 0.002), ("heun", 0.002)):
+        yT = euler_integrate(fn, jnp.ones(()), ts, method=method)
+        assert abs(float(yT) - exact) < tol, method
+    err_e = abs(float(euler_integrate(fn, jnp.ones(()), ts, "euler")) - exact)
+    err_m = abs(float(euler_integrate(fn, jnp.ones(()), ts, "midpoint")) - exact)
+    assert err_m < err_e / 5

@@ -27,7 +27,7 @@ def test_shard_model_tp_places_projections():
     mc = cfglib.tiny_test().model
     model = create_model(lambda: TriStreamTransformer(mc, rngs=nnx.Rngs(0)))
     shard_model(model, mesh)
-    qk = model.audio_blocks[0].attn.to_q.kernel[...]
+    qk = model.audio_blocks[0].attn.to_qkv.kernel[...]
     spec = qk.sharding.spec
     assert spec == P(None, "model"), spec
     ok = model.audio_blocks[0].attn.to_out.kernel[...]

@@ -1,0 +1,149 @@
+"""Serving layer: HTTP server end-to-end with the tiny pipeline, Predictor
+API, resilience guards, extra datasets."""
+
+import io
+import json
+import os
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from tests.test_pipeline import tiny_pipeline_cfg, write_synthetic_video
+
+
+@pytest.fixture(scope="module")
+def served_pipeline():
+    from v2ap_tpu.models.clip_vit import clip_tiny_test
+    from v2ap_tpu.models.t5 import t5_tiny_test
+    from v2ap_tpu.pipelines.generate import V2APipeline
+    from v2ap_tpu.serving.server import serve
+
+    pipe = V2APipeline(tiny_pipeline_cfg(), t5_config=t5_tiny_test(),
+                       clip_config=clip_tiny_test())
+    server = serve(pipe, port=0, block=False)
+    yield pipe, server
+    server.shutdown()
+
+
+def _multipart(fields, files):
+    boundary = "----v2apboundary"
+    buf = io.BytesIO()
+    for name, value in fields.items():
+        buf.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+                  f'name="{name}"\r\n\r\n{value}\r\n'.encode())
+    for name, (fname, payload) in files.items():
+        buf.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+                  f'name="{name}"; filename="{fname}"\r\n'
+                  f"Content-Type: video/mp4\r\n\r\n".encode())
+        buf.write(payload)
+        buf.write(b"\r\n")
+    buf.write(f"--{boundary}--\r\n".encode())
+    return buf.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+def test_healthz(served_pipeline):
+    _, server = served_pipeline
+    port = server.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["notes"] == 51
+
+
+def test_index_form(served_pipeline):
+    _, server = served_pipeline
+    port = server.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+        html = r.read().decode()
+    assert "<form" in html and "video" in html
+
+
+def test_post_v2a_generates_wav(served_pipeline, tmp_path):
+    _, server = served_pipeline
+    port = server.server_address[1]
+    video = str(tmp_path / "in.mp4")
+    if not write_synthetic_video(video, frames=6, fps=4):
+        pytest.skip("cv2 writer unavailable")
+    with open(video, "rb") as f:
+        payload = f.read()
+    body, ctype = _multipart({"prompt": "beep", "steps": "2"},
+                             {"video": ("in.mp4", payload)})
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v2a", data=body,
+        headers={"Content-Type": ctype}, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        wav_bytes = r.read()
+        assert r.headers["Content-Type"] == "audio/wav"
+    assert wav_bytes[:4] == b"RIFF"
+    assert len(wav_bytes) > 24_000     # > 0.5 s of 16-bit audio
+
+
+def test_post_missing_video_is_400(served_pipeline):
+    _, server = served_pipeline
+    port = server.server_address[1]
+    body, ctype = _multipart({"prompt": "x"}, {})
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v2a", data=body,
+        headers={"Content-Type": ctype}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400
+
+
+# ------------------------------------------------------------- resilience
+
+def test_grad_guard_skips_nan():
+    import optax
+    from v2ap_tpu import config as cfglib
+    from v2ap_tpu.models.cfm import CFM
+    from v2ap_tpu.training.resilience import GradGuard
+    from v2ap_tpu.utils.jitting import create_model
+
+    cfg = cfglib.tiny_test()
+    model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
+                                     with_video2roll=False, rngs=nnx.Rngs(0)))
+    opt = nnx.Optimizer(model, optax.sgd(1e-2), wrt=nnx.Param)
+    guard = GradGuard(max_consecutive_skips=3)
+
+    before = np.asarray(model.proj_in.kernel[...]).copy()
+    good = jax.tree.map(lambda x: jnp.ones_like(x) if hasattr(x, "dtype") else x,
+                        nnx.grad(lambda m: jnp.sum(m.proj_in.kernel[...] * 0.0))(model))
+    bad = jax.tree.map(
+        lambda x: (jnp.full_like(x, jnp.nan) if hasattr(x, "dtype") else x), good)
+
+    assert guard.apply(model, opt, bad, jnp.asarray(1.0)) is False
+    np.testing.assert_allclose(np.asarray(model.proj_in.kernel[...]), before)
+    assert guard.apply(model, opt, good, jnp.asarray(1.0)) is True
+    assert not np.allclose(np.asarray(model.proj_in.kernel[...]), before)
+    # nan loss also skips
+    assert guard.apply(model, opt, good, jnp.asarray(jnp.nan)) is False
+    with pytest.raises(RuntimeError):
+        for _ in range(5):
+            guard.apply(model, opt, bad, jnp.asarray(1.0))
+
+
+def test_watchdog(tmp_path):
+    from v2ap_tpu.training.resilience import Watchdog
+    path = str(tmp_path / "hb.json")
+    wd = Watchdog(path)
+    wd.beat(step=5, loss=1.0)
+    assert not Watchdog.is_stalled(path, stall_seconds=60)
+    assert Watchdog.is_stalled(path, stall_seconds=-1)
+
+
+def test_tts_dataset(tmp_path):
+    from tests.test_data import make_wav
+    from v2ap_tpu.data.extra_datasets import TextToSpeechDataset
+    p1, _ = make_wav(tmp_path, "a.wav", seconds=0.5)
+    p2, _ = make_wav(tmp_path, "b.wav", seconds=0.5)
+    scp = tmp_path / "tts.scp"
+    scp.write_text(f"{p1}|hello world\n{p2}|goodbye\n")
+    ds = TextToSpeechDataset(str(scp))
+    assert len(ds) == 16                    # 2 rows x multi 8
+    batch = next(ds.batches(2, target_frames=75))
+    assert batch["waveforms"].shape == (2, 75 * 320)
+    assert batch["tokens"].shape[0] == 2

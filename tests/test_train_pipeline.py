@@ -1,0 +1,57 @@
+"""TrainingPipeline end-to-end on tiny configs + synthetic data: batches ->
+device encoding -> guarded train steps -> checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_data import make_wav
+from tests.test_pipeline import tiny_pipeline_cfg, write_synthetic_video
+from v2ap_tpu.data import Sample, TrainBatcher
+
+
+@pytest.fixture(scope="module")
+def tiny_training(tmp_path_factory):
+    import dataclasses
+    from v2ap_tpu.models.clip_vit import clip_tiny_test
+    from v2ap_tpu.models.t5 import t5_tiny_test
+    from v2ap_tpu.training.pipeline import TrainingPipeline
+
+    tmp = tmp_path_factory.mktemp("train")
+    cfg = tiny_pipeline_cfg()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, target_length=96),
+        train=dataclasses.replace(cfg.train, learning_rate=1e-3,
+                                  warmup_steps=2, decay_steps=50,
+                                  save_step=2))
+    pipe = TrainingPipeline(cfg, work_dir=str(tmp / "run"), seed=0,
+                            t5_config=t5_tiny_test(),
+                            clip_config=clip_tiny_test())
+    return pipe, tmp
+
+
+def test_fit_runs_and_checkpoints(tiny_training, tmp_path):
+    pipe, tmp = tiny_training
+    wavs = [make_wav(tmp_path, f"w{i}.wav", seconds=0.4, freq=200 + 40 * i)[0]
+            for i in range(3)]
+    samples = [Sample(p, f"sound {i}", "c") for i, p in enumerate(wavs)]
+    video = str(tmp_path / "v.mp4")
+    if write_synthetic_video(video, frames=6, fps=4):
+        samples.append(Sample(video, "music", "v", is_video=True))
+    batcher = TrainBatcher(samples, pipe.cfg.data, batch_size=2, seed=0,
+                           mix_prob=0.0)
+    final = pipe.fit(batcher, num_steps=4, log_every=1)
+    assert final == 4
+    # heartbeat + metrics written
+    assert os.path.exists(os.path.join(pipe.work_dir, "heartbeat.json"))
+    logs = open(os.path.join(pipe.work_dir, "logs", "metrics.jsonl")).read()
+    assert '"loss"' in logs
+    # checkpoint saved at save_step multiples
+    assert pipe.resumer.mgr.latest_step() is not None
+
+
+def test_resume_from_checkpoint(tiny_training, tmp_path):
+    pipe, tmp = tiny_training
+    step = pipe.resumer.maybe_resume()
+    assert step >= 2                       # restored the step-4-run state

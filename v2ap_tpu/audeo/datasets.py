@@ -149,3 +149,36 @@ def load_roll_chunk_dir(folder: str) -> Tuple[List[np.ndarray], List[np.ndarray]
             logits.append(data["logit"])
             rolls.append(data["roll"])
     return logits, rolls
+
+
+def roll2midi_infer(generator, logits, *, min_key: int = MIN_KEY,
+                    max_key: int = MAX_KEY, threshold: float = 0.4,
+                    out_dir: Optional[str] = None, batch_fn=None):
+    """Clean estimated rolls with the Roll2Midi generator (reference
+    Roll2Midi_inference.py:12-40): sigmoid(logits) in 100-frame window pairs
+    -> generator -> thresholded 88-wide midi chunks, optionally saved per
+    input chunk as {start}-{end}.npz with key 'midi'."""
+    import jax.numpy as jnp
+
+    if batch_fn is None:
+        batch_fn = lambda g, x: g(x)
+    n_keys = max_key - min_key + 1
+    outs = []
+    for i in range(0, len(logits) - 1, 2):
+        pair = np.concatenate([logits[i], logits[i + 1]])[:, min_key:max_key + 1]
+        prob = 1.0 / (1.0 + np.exp(-pair))
+        window = prob.T[None, ..., None].astype(np.float32)  # (1, keys, 100, 1)
+        gen = np.asarray(batch_fn(generator, jnp.asarray(window)))[0, ..., 0]
+        midi_pair = (gen.T >= threshold).astype(np.int64)    # (100, keys)
+        for j, start in enumerate((i * FRAMES_PER_CHUNK,
+                                   (i + 1) * FRAMES_PER_CHUNK)):
+            midi = np.zeros((FRAMES_PER_CHUNK, 88), np.int64)
+            midi[:, min_key: min_key + n_keys] = \
+                midi_pair[j * FRAMES_PER_CHUNK: (j + 1) * FRAMES_PER_CHUNK]
+            if out_dir is not None:
+                os.makedirs(out_dir, exist_ok=True)
+                np.savez(os.path.join(
+                    out_dir, f"{start}-{start + FRAMES_PER_CHUNK}.npz"),
+                    midi=midi)
+            outs.append(midi)
+    return outs

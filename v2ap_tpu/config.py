@@ -54,6 +54,9 @@ class ModelConfig:
     notes: int = 51                  # piano-roll keys (88 for the full-keyboard variant)
     note_min: int = 15
     note_max: int = 65
+    # mixed video-encoder mode: raw concat width projected down to dim_text
+    # (reference video_encoder="mixed": 4608 -> 1280, e2_tts_crossatt3.py:1464)
+    dim_text_raw: Optional[int] = None
     # conditioning projections
     if_cond_proj_in: bool = True
     cond_proj_in_bias: bool = True
@@ -81,6 +84,7 @@ class SamplerConfig:
     remove_parallel_component: bool = False
     keep_parallel_frac: float = 0.0
     max_duration: int = 4096
+    method: str = "euler"            # euler | midpoint | heun
 
 
 @dataclass(frozen=True)

@@ -75,6 +75,10 @@ class CFM(nnx.Module):
                 if cfg.if_cond_proj_in else None)
         self.to_pred = nnx.Linear(cfg.dim, cfg.num_channels, **kw)
         self.proj_frames = nnx.Linear(cfg.notes, cfg.dim_frames, **kw)
+        # "mixed" video-encoder mode: concat of several frame encoders gets
+        # projected to the text-stream width (reference proj_text, :1465)
+        self.proj_text = (nnx.Linear(cfg.dim_text_raw, cfg.dim_text, **kw)
+                          if cfg.dim_text_raw else None)
 
         # trained piano-perception net living inside the model
         # (reference e2_tts_crossatt3.py:1523)
@@ -109,6 +113,9 @@ class CFM(nnx.Module):
             if cond is not None and self.cond_proj_in is not None:
                 h = h + self.cond_proj_in(cond)
 
+        if self.proj_text is not None and \
+                text_embed.shape[-1] != self.cfg.dim_text:
+            text_embed = self.proj_text(text_embed)
         frames_stream = self.proj_frames(frames_embed)
 
         out = self.transformer(
@@ -139,8 +146,17 @@ class CFM(nnx.Module):
         logits = self.video2roll(stacked)                     # (b*t, notes)
         probs = nnx.sigmoid(logits.astype(jnp.float32))
         probs = probs.reshape(b, t, self.cfg.notes)
-        rep = int(round(self.cfg.video_multi))
-        probs = jnp.repeat(probs, rep, axis=1)                # (b, t*rep, notes)
+        vm = self.cfg.video_multi
+        if float(vm).is_integer():
+            probs = jnp.repeat(probs, int(vm), axis=1)        # (b, t*vm, notes)
+        else:
+            # fractional rate (88-key variant, x2.5): repeat x5 then average
+            # adjacent pairs (reference e2_tts_crossatt3_2.py's t*5//2 path)
+            num, den = float(vm).as_integer_ratio()           # 5, 2
+            rep = jnp.repeat(probs, num, axis=1)
+            t5 = (rep.shape[1] // den) * den
+            probs = rep[:, :t5].reshape(b, t5 // den, den,
+                                        self.cfg.notes).mean(axis=2)
         cur = probs.shape[1]
         if cur > length:
             probs = probs[:, :length]
@@ -216,7 +232,8 @@ class CFM(nnx.Module):
                 update = orthogonal + parallel * sampler.keep_parallel_frac
             return pred + update * sampler.cfg_strength
 
-        out = euler_integrate(fn, x0.astype(jnp.float32), ts)
+        out = euler_integrate(fn, x0.astype(jnp.float32), ts,
+                              method=sampler.method)
         if cond is not None and cond_mask is not None:
             out = jnp.where(cond_mask[..., None], cond, out)
         return out

@@ -94,3 +94,49 @@ class DurationPredictor(nnx.Module):
             mask.sum(axis=1, keepdims=True), 1.0)
         pred = jax.nn.softplus(self.to_pred(pooled)[:, 0].astype(jnp.float32))
         return jnp.mean((pred - lens.astype(jnp.float32)) ** 2)
+
+
+class InterpolatedCharacterEmbed(nnx.Module):
+    """Token embeddings linearly interpolated to the latent length, plus an
+    absolute-position MLP (reference InterpolatedCharacterEmbed,
+    e2_tts_crossatt3.py:592-660). Static-shape formulation: padded token rows
+    interpolate by a gather/lerp over fractional source positions; the
+    per-row valid token count drives the stretch factor."""
+
+    def __init__(self, dim_text: int, num_embeds: int = 256, *,
+                 rngs: nnx.Rngs):
+        self.embed = nnx.Embed(num_embeds, dim_text, param_dtype=jnp.float32,
+                               rngs=rngs)
+        self.pos_fc1 = nnx.Linear(1, dim_text, param_dtype=jnp.float32,
+                                  rngs=rngs)
+        self.pos_fc2 = nnx.Linear(dim_text, dim_text, param_dtype=jnp.float32,
+                                  rngs=rngs)
+
+    def __call__(self, tokens: jnp.ndarray, length: int,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """tokens (b, nt) with -1 padding -> (b, length, dim_text)."""
+        b, nt = tokens.shape
+        valid = tokens >= 0
+        counts = jnp.maximum(valid.sum(axis=1), 1)            # (b,)
+        emb = self.embed(jnp.maximum(tokens, 0))              # (b, nt, d)
+        emb = jnp.where(valid[..., None], emb, 0.0)
+
+        audio_len = (mask.sum(axis=1) if mask is not None
+                     else jnp.full((b,), length))
+        # fractional source position per output row (bilinear interp)
+        out_idx = jnp.arange(length)[None, :].astype(jnp.float32)  # (1, L)
+        denom = jnp.maximum(audio_len[:, None].astype(jnp.float32) - 1.0, 1.0)
+        src = out_idx / denom * (counts[:, None].astype(jnp.float32) - 1.0)
+        src = jnp.clip(src, 0.0, (counts[:, None] - 1).astype(jnp.float32))
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, counts[:, None] - 1)
+        frac = (src - lo)[..., None]
+        gather = jax.vmap(lambda e, i: e[i])
+        interp = gather(emb, lo) * (1 - frac) + gather(emb, hi) * frac
+
+        abs_pos = out_idx / denom * counts[:, None].astype(jnp.float32)
+        pos = self.pos_fc2(nnx.silu(self.pos_fc1(abs_pos[..., None])))
+        out = interp + pos
+        if mask is not None:
+            out = jnp.where(mask[..., None], out, 0.0)
+        return out

@@ -120,7 +120,8 @@ class AudioBlock(nnx.Module):
         if cfg.if_cross_attn:
             self.cross_norm = AdaptiveRMSNorm(dim, rngs=rngs)
             self.cross_attn = Attention(dim, cfg.heads, cfg.dim_head,
-                                        dim_context=cfg.dim_context, **attn_kw)
+                                        dim_context=cfg.dim_context,
+                                        cross_attention=True, **attn_kw)
             self.cross_gate = AdaLNZero(dim, rngs=rngs)
         else:
             self.cross_attn = None

@@ -31,6 +31,7 @@ class Attention(nnx.Module):
         dim_head: int,
         *,
         dim_context: int | None = None,
+        cross_attention: bool | None = None,
         dropout: float = 0.0,
         gate_value_heads: bool = True,
         softclamp_logits: bool = True,
@@ -47,9 +48,19 @@ class Attention(nnx.Module):
         self.use_pallas = use_pallas
 
         kw = dict(use_bias=False, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
-        self.to_q = nnx.Linear(dim, inner, **kw)
-        self.to_k = nnx.Linear(dim_context, inner, **kw)
-        self.to_v = nnx.Linear(dim_context, inner, **kw)
+        # self-attention fuses q/k/v into ONE matmul (one big MXU op instead
+        # of three smaller ones); cross-attention keeps split projections
+        # (different input operands)
+        if cross_attention is None:
+            cross_attention = dim_context != dim
+        self.fused_qkv = not cross_attention
+        if self.fused_qkv:
+            self.to_qkv = nnx.Linear(dim, 3 * inner, **kw)
+            self.to_q = self.to_k = self.to_v = None
+        else:
+            self.to_q = nnx.Linear(dim, inner, **kw)
+            self.to_k = nnx.Linear(dim_context, inner, **kw)
+            self.to_v = nnx.Linear(dim_context, inner, **kw)
         self.to_out = nnx.Linear(inner, dim, **kw)
         self.to_v_gates = (
             nnx.Linear(dim, heads, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
@@ -74,9 +85,15 @@ class Attention(nnx.Module):
         has_context = context is not None
         kv_input = context if has_context else x
 
-        q = self._split(self.to_q(x))
-        k = self._split(self.to_k(kv_input))
-        v = self._split(self.to_v(kv_input))
+        if self.fused_qkv and not has_context:
+            qkv = self.to_qkv(x)
+            q, k, v = (self._split(t) for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            assert not self.fused_qkv, \
+                "cross-attention requires dim_context-separate projections"
+            q = self._split(self.to_q(x))
+            k = self._split(self.to_k(kv_input))
+            v = self._split(self.to_v(kv_input))
 
         if rotary is not None and not has_context:
             q = apply_rope(q, rotary)

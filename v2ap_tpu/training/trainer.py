@@ -73,25 +73,57 @@ def make_train_step(train_cfg: TrainConfig):
     latents (b,n,C), lens (b,), text_embed (b,n,dt), context (b,nc,dc),
     context_mask (b,nc), and optionally frames (b,t,H,W) + midis (b,n,notes).
     Shard batch arrays on the mesh's data axis before calling; XLA inserts the
-    gradient AllReduce."""
+    gradient AllReduce.
+
+    With ``grad_accum > 1`` the batch splits into micro-batches along axis 0
+    and gradients average inside one jitted ``lax.scan`` (the reference used
+    ``accelerator.accumulate``, trainer...3.py:379)."""
+    accum = max(1, train_cfg.grad_accum)
+
+    def _loss(m: CFM, rng, batch, has_frames):
+        out: CFMOutput = m.loss(
+            batch["latents"], lens=batch["lens"],
+            text_embed=batch["text_embed"], context=batch.get("context"),
+            context_mask=batch.get("context_mask"), rng=rng,
+            frames=batch.get("frames") if has_frames else None,
+            midis=batch.get("midis") if has_frames else None,
+            midi_loss_weight=train_cfg.midi_loss_weight)
+        return out.loss, out.breakdown
 
     @partial(nnx.jit, static_argnames=("has_frames",))
     def train_step(model: CFM, optimizer: nnx.Optimizer, rng: jax.Array,
                    batch: dict, has_frames: bool = False):
-        def loss_fn(m: CFM):
-            out: CFMOutput = m.loss(
-                batch["latents"], lens=batch["lens"],
-                text_embed=batch["text_embed"], context=batch.get("context"),
-                context_mask=batch.get("context_mask"), rng=rng,
-                frames=batch.get("frames") if has_frames else None,
-                midis=batch.get("midis") if has_frames else None,
-                midi_loss_weight=train_cfg.midi_loss_weight)
-            return out.loss, out.breakdown
+        if accum == 1:
+            (loss, breakdown), grads = nnx.value_and_grad(
+                _loss, has_aux=True)(model, rng, batch, has_frames)
+            optimizer.update(model, grads)
+            return loss, breakdown
 
-        (loss, breakdown), grads = nnx.value_and_grad(
-            loss_fn, has_aux=True)(model)
+        # micro-batches unroll at trace time (accum is small; a lax.scan
+        # would forbid the stateful dropout-RNG mutation inside its body)
+        def micro(i):
+            return jax.tree.map(
+                lambda x: x.reshape((accum, -1) + x.shape[1:])[i]
+                if hasattr(x, "ndim") and x.ndim > 0 else x, batch)
+
+        g_sum = None
+        loss_sum = jnp.asarray(0.0)
+        for i in range(accum):
+            sub = jax.random.fold_in(rng, i)
+            (loss, _), grads = nnx.value_and_grad(
+                _loss, has_aux=True)(model, sub, micro(i), has_frames)
+            loss_sum = loss_sum + loss
+            g_sum = grads if g_sum is None else jax.tree.map(
+                lambda a, b: a + b if hasattr(a, "dtype") else a, g_sum, grads)
+        grads = jax.tree.map(
+            lambda g: g / accum if hasattr(g, "dtype") else g, g_sum)
         optimizer.update(model, grads)
-        return loss, breakdown
+        # breakdown of the last micro-batch is not tracked under scan; report
+        # the mean loss with empty metrics
+        from v2ap_tpu.models.cfm import LossBreakdown
+        zero = jnp.asarray(0.0)
+        return loss_sum / accum, LossBreakdown(loss_sum / accum, zero, zero,
+                                               zero, zero, zero)
 
     return train_step
 
