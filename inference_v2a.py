@@ -22,7 +22,7 @@ def parse_args(argv):
         ns = argparse.Namespace(
             ckpt=argv[0], drop_prompt=bool(int(argv[1])), scp=argv[2],
             start=int(argv[3]), end=int(argv[4]), out=argv[5],
-            steps=64, cfg=2.0, piano=False, seed=0)
+            steps=64, cfg=2.0, piano=False, seed=0, passes=1)
         return ns
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
@@ -35,6 +35,8 @@ def parse_args(argv):
     p.add_argument("--cfg", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--piano", action="store_true")
+    p.add_argument("--passes", type=int, default=1,
+                   help="multi-pass refinement sampling (restart passes)")
     p.add_argument("--tiny", action="store_true",
                    help="miniature debug config (random weights, CPU-friendly)")
     return p.parse_args(argv)
@@ -68,7 +70,8 @@ def main(argv=None) -> int:
     summary = run_batch_eval(
         pipeline, args.scp, args.out, start=args.start, end=args.end,
         steps=args.steps, cfg_strength=args.cfg,
-        drop_prompt=args.drop_prompt, piano=args.piano, seed=args.seed)
+        drop_prompt=args.drop_prompt, piano=args.piano, seed=args.seed,
+        passes=getattr(args, "passes", 1))
     print(summary)
     return 0 if summary["failed"] == 0 else 1
 

@@ -143,3 +143,22 @@ def test_encode_frames_88key_fractional_rate():
     # 4 frames * 2.5 = 10 valid rows, 2 zero-padded
     np.testing.assert_allclose(np.asarray(roll[0, 10:]), 0.0, atol=1e-7)
     assert float(np.abs(np.asarray(roll[0, :10])).sum()) > 0
+
+
+def test_sample_multipass_refinement():
+    cfg, model = build()
+    cond = make_cond(cfg)
+    x0 = jax.random.normal(jax.random.key(0), (1, 32, cfg.model.num_channels))
+    sampler = SamplerConfig(steps=4, cfg_strength=2.0)
+    base = sample_fn(model, x0, cond, sampler)
+    multi = nnx.jit(
+        lambda m, x0, cond, sampler: m.sample_multipass(
+            x0, rng=jax.random.key(1), passes=2, restart_t=0.6,
+            sampler=sampler, **cond),
+        static_argnames="sampler")(model, x0, cond, sampler)
+    assert multi.shape == base.shape
+    assert bool(jnp.isfinite(multi).all())
+    # refinement changes the sample but stays correlated with the base
+    assert not np.allclose(np.asarray(multi), np.asarray(base))
+    c = np.corrcoef(np.asarray(multi).ravel(), np.asarray(base).ravel())[0, 1]
+    assert c > 0.3

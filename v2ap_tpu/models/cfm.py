@@ -186,8 +186,62 @@ class CFM(nnx.Module):
         T5 prompt but keeps the piano-roll stream (matching reference
         cfg_transformer_with_pred_head semantics).
         """
-        b = x0.shape[0]
+        fn = self._make_cfg_fn(
+            batch=x0.shape[0], text_embed=text_embed,
+            frames_embed=frames_embed, context=context,
+            context_mask=context_mask, mask=mask, sampler=sampler,
+            cond=cond, cond_mask=cond_mask, drop_prompt=drop_prompt)
         ts = jnp.asarray(sway_timesteps(sampler.steps, sampler.sway_sampling))
+        out = euler_integrate(fn, x0.astype(jnp.float32), ts,
+                              method=sampler.method)
+        if cond is not None and cond_mask is not None:
+            out = jnp.where(cond_mask[..., None], cond, out)
+        return out
+
+    def sample_multipass(
+        self,
+        x0: jnp.ndarray,
+        *,
+        rng: jax.Array,
+        passes: int = 2,
+        restart_t: float = 0.6,
+        refine_steps: Optional[int] = None,
+        text_embed: jnp.ndarray,
+        frames_embed: jnp.ndarray,
+        context: Optional[jnp.ndarray],
+        context_mask: Optional[jnp.ndarray],
+        mask: Optional[jnp.ndarray],
+        sampler: SamplerConfig,
+        drop_prompt: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Multi-pass refinement sampling (restart sampling): after the full
+        ODE pass, partially re-noise the result back to ``restart_t`` along
+        the flow path and re-integrate t: restart_t -> 1. Extra passes trade
+        compute for sample quality (the "multi-pass CFM refinement" serving
+        config; BASELINE config 4)."""
+        out = self.sample(x0, text_embed=text_embed, frames_embed=frames_embed,
+                          context=context, context_mask=context_mask,
+                          mask=mask, sampler=sampler, drop_prompt=drop_prompt)
+        fn = self._make_cfg_fn(
+            batch=x0.shape[0], text_embed=text_embed,
+            frames_embed=frames_embed, context=context,
+            context_mask=context_mask, mask=mask, sampler=sampler,
+            cond=None, cond_mask=None, drop_prompt=drop_prompt)
+        steps = refine_steps or max(sampler.steps // 2, 2)
+        base = jnp.asarray(sway_timesteps(steps, sampler.sway_sampling))
+        ts = restart_t + (1.0 - restart_t) * base
+        for p in range(1, passes):
+            rng, sub = jax.random.split(rng)
+            noise = jax.random.normal(sub, out.shape, jnp.float32)
+            x_restart = (1.0 - restart_t) * noise + restart_t * out
+            out = euler_integrate(fn, x_restart, ts, method=sampler.method)
+        return out
+
+    def _make_cfg_fn(self, *, batch, text_embed, frames_embed, context,
+                     context_mask, mask, sampler: SamplerConfig,
+                     cond=None, cond_mask=None, drop_prompt=None):
+        """Velocity field with CFG folded into one batch-doubled forward."""
+        b = batch
 
         if drop_prompt is not None and context is not None:
             context = jnp.where(drop_prompt[:, None, None], 0.0, context)
@@ -232,11 +286,7 @@ class CFM(nnx.Module):
                 update = orthogonal + parallel * sampler.keep_parallel_frac
             return pred + update * sampler.cfg_strength
 
-        out = euler_integrate(fn, x0.astype(jnp.float32), ts,
-                              method=sampler.method)
-        if cond is not None and cond_mask is not None:
-            out = jnp.where(cond_mask[..., None], cond, out)
-        return out
+        return fn
 
     # ------------------------------------------------------------------ loss
     def loss(

@@ -125,7 +125,7 @@ def flash_attention(
     softclamp: float | None = None,
     scale: float | None = None,
     block_q: int = 1024,
-    block_k: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, nq, d = q.shape

@@ -30,6 +30,7 @@ def run_batch_eval(
     piano: bool = False,
     seed: int = 0,
     mux: bool = True,
+    passes: int = 1,
 ) -> dict:
     """Returns a summary dict: clips attempted/succeeded, realtime factor."""
     from v2ap_tpu.data.audio_io import write_wav
@@ -48,7 +49,7 @@ def run_batch_eval(
         try:
             wav, sr = pipeline.generate(
                 sample.path, prompt, steps=steps, cfg_strength=cfg_strength,
-                piano=piano, seed=seed + i)
+                piano=piano, seed=seed + i, passes=passes)
         except Exception as exc:  # bad clip: record and continue (SURVEY §5.3)
             failed += 1
             print(f"[batch_eval] FAILED {sample.path}: {exc}")

@@ -131,6 +131,15 @@ class V2APipeline:
                          context=ctx, context_mask=ctx_mask, mask=mask,
                          sampler=sampler),
             static_argnames="sampler")
+        self._sample_multipass = nnx.jit(
+            lambda m, x0, text, frames_roll, ctx, ctx_mask, mask, sampler,
+                   rng, passes, restart_t:
+                m.sample_multipass(x0, rng=rng, passes=passes,
+                                   restart_t=restart_t, text_embed=text,
+                                   frames_embed=frames_roll, context=ctx,
+                                   context_mask=ctx_mask, mask=mask,
+                                   sampler=sampler),
+            static_argnames=("sampler", "passes", "restart_t"))
         self._encode_frames = nnx.jit(
             lambda m, frames, n: m.encode_frames(frames, n),
             static_argnames="n")
@@ -219,6 +228,8 @@ class V2APipeline:
         piano: bool = False,
         seed: int = 0,
         max_duration_s: float = 30.0,
+        passes: int = 1,
+        restart_t: float = 0.6,
     ) -> Tuple[np.ndarray, int]:
         """Silent video (+ optional prompt) -> generated waveform @ 24 kHz.
 
@@ -275,8 +286,13 @@ class V2APipeline:
             self._jax.random.key(seed), (b, n, self.cfg.model.num_channels))
         sampler = SamplerConfig(steps=steps, cfg_strength=cfg_strength,
                                 sway_sampling=True)
-        latents = self._sample(self.cfm, x0, text, frames_roll, ctx, ctx_mask,
-                               mask, sampler)
+        if passes > 1:
+            latents = self._sample_multipass(
+                self.cfm, x0, text, frames_roll, ctx, ctx_mask, mask, sampler,
+                self._jax.random.key(seed + 1), passes, restart_t)
+        else:
+            latents = self._sample(self.cfm, x0, text, frames_roll, ctx,
+                                   ctx_mask, mask, sampler)
         wav = np.asarray(self._decode(self.codec, latents[:, :n_valid]))
         samples = int(duration_s * sr)
         return wav[0, :samples], sr
