@@ -97,3 +97,33 @@ def test_clip_preprocess():
     out = preprocess_frames(frames, image_size=28)
     assert out.shape == (2, 28, 28, 3)
     assert np.isfinite(out).all()
+
+
+def test_video2roll_parity_with_torch_reference():
+    """Behavioral parity of the JAX Video2RollNet against the Audeo torch
+    implementation (random shared weights, the real 5x100x900 input)."""
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, "/root/reference/src/audeo")
+    try:
+        import Video2RollNet as torch_v2r
+    except Exception:
+        pytest.skip("reference Video2RollNet not importable")
+    finally:
+        sys.path.pop(0)
+
+    from v2ap_tpu.models.video2roll import Video2RollNet
+    from v2ap_tpu.utils.torch_convert import load_video2roll_from_torch
+
+    torch.manual_seed(0)
+    tnet = torch_v2r.resnet18(num_classes=51).eval()
+    jnet = create_model(lambda: Video2RollNet(num_classes=51,
+                                              rngs=nnx.Rngs(0)))
+    load_video2roll_from_torch(tnet, jnet)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 5, 100, 900)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(x)).numpy()
+    j_out = np.asarray(nnx.jit(lambda m, x: m(x))(jnet, jnp.asarray(x)))
+    np.testing.assert_allclose(j_out, t_out, rtol=2e-2, atol=2e-3)

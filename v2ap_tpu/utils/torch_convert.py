@@ -140,3 +140,56 @@ def load_clip_vision_from_torch(torch_model, jax_model) -> None:
     jax_model.post_layernorm.scale[...] = sd[f"{v}.post_layernorm.weight"]
     jax_model.post_layernorm.bias[...] = sd[f"{v}.post_layernorm.bias"]
     jax_model.visual_projection.kernel[...] = sd["visual_projection.weight"].T
+
+
+# ----------------------------------------------------------------- video2roll
+
+def load_video2roll_from_torch(torch_model, jax_model) -> None:
+    """Torch Audeo ``Video2RollNet.resnet18`` -> models/video2roll.py (the
+    trained piano-perception net inside the published CFM checkpoints,
+    reference e2_tts_crossatt3.py:1523)."""
+    sd = {k: _t2j(v) for k, v in torch_model.state_dict().items()}
+
+    def conv(jmod, key):
+        jmod.kernel[...] = jnp.transpose(sd[f"{key}.weight"], (2, 3, 1, 0))
+        if f"{key}.bias" in sd:
+            jmod.bias[...] = sd[f"{key}.bias"]
+
+    def bn(jmod, key):
+        jmod.scale[...] = sd[f"{key}.weight"]
+        jmod.bias[...] = sd[f"{key}.bias"]
+        jmod.mean[...] = sd[f"{key}.running_mean"]
+        jmod.var[...] = sd[f"{key}.running_var"]
+
+    def convbn(jmod, conv_key, bn_key):
+        conv(jmod.conv, conv_key)
+        bn(jmod.bn, bn_key)
+
+    def linear(jmod, key):
+        jmod.kernel[...] = sd[f"{key}.weight"].T
+        jmod.bias[...] = sd[f"{key}.bias"]
+
+    convbn(jax_model.stem, "conv1", "bn1")
+    for li, layer in enumerate((jax_model.layer1, jax_model.layer2,
+                                jax_model.layer3, jax_model.layer4), start=1):
+        for bi, blk in enumerate(layer):
+            p = f"layer{li}.{bi}"
+            convbn(blk.cb1, f"{p}.conv1", f"{p}.bn1")
+            convbn(blk.cb2, f"{p}.conv2", f"{p}.bn2")
+            if blk.down is not None:
+                convbn(blk.down, f"{p}.downsample.0", f"{p}.downsample.1")
+
+    for jftb, key in ((jax_model.ftb2_1, "FTB2_1"), (jax_model.ftb2_2, "FTB2_2"),
+                      (jax_model.ftb3, "FTB3"), (jax_model.ftb4, "FTB4")):
+        conv(jftb.conv0, f"{key}.conv0")
+        convbn(jftb.cb1, f"{key}.conv1", f"{key}.bn1")
+        conv(jftb.conv2, f"{key}.conv2")
+
+    for jfrb, key in ((jax_model.frb2, "FRB2"), (jax_model.frb3, "FRB3"),
+                      (jax_model.frb4, "FRB4")):
+        linear(jfrb.fc1, f"{key}.fc1")
+        linear(jfrb.fc2, f"{key}.fc2")
+
+    convbn(jax_model.toplayer, "toplayer", "toplayer_bn")
+    conv(jax_model.conv2, "conv2")
+    linear(jax_model.fc, "fc")
