@@ -14,6 +14,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -75,12 +76,34 @@ def main() -> None:
 
     wall = float(np.median(times))
     rtf = audio_seconds / wall
-    print(json.dumps({
+
+    result = {
         "metric": "v2a_realtime_factor_25step_cfg_encodec",
         "value": round(rtf, 3),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 10.0, 3),
-    }))
+    }
+
+    # throughput mode (clips riding the batch axis): opt-in, extra keys only
+    tb = int(os.environ.get("V2AP_BENCH_THROUGHPUT_BATCH", "0"))
+    if tb > 1:
+        x0b = jnp.tile(x0, (tb, 1, 1))
+        textb = jnp.tile(text, (tb, 1, 1))
+        framesb = jnp.tile(frames, (tb, 1, 1))
+        ctxb = jnp.tile(ctx, (tb, 1, 1))
+        ctxmb = jnp.tile(ctx_mask, (tb, 1))
+        wavb = generate(state, cstate, x0b, textb, framesb, ctxb, ctxmb)
+        _ = np.asarray(wavb[:, :8])
+        t0 = time.perf_counter()
+        wavb = generate(state, cstate, x0b + 1e-6, textb, framesb, ctxb, ctxmb)
+        _ = np.asarray(wavb[:, :8])
+        tput_wall = time.perf_counter() - t0
+        clip_s = n * cfg.conditioning.frame_size / cfg.conditioning.sampling_rate
+        result["throughput_batch"] = tb
+        result["clips_per_min"] = round(tb / tput_wall * 60.0, 2)
+        result["throughput_x_realtime"] = round(tb * clip_s / tput_wall, 2)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

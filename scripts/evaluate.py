@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Evaluation CLI: batch-generate over a manifest and score.
+
+    python scripts/evaluate.py --scp tests/vgg_test.scp --out outputs/ \
+        --steps 64 [--piano] [--ref-dir path/to/reference_wavs]
+
+Reports realtime factor always; FAD when an embedder is registered and a
+reference wav dir is given; roll P/R/F1 when ground-truth rolls exist
+(``<video>.3.npy``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scp", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--cfg", type=float, default=2.0)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--end", type=int, default=None)
+    ap.add_argument("--piano", action="store_true")
+    ap.add_argument("--passes", type=int, default=1)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--ref-dir", default=None,
+                    help="reference wavs for FAD (needs a registered embedder)")
+    args = ap.parse_args()
+
+    from v2ap_tpu.utils.jitting import enable_compile_cache
+    enable_compile_cache()
+
+    from inference_v2a import parse_args as _  # noqa: F401 (shared config path)
+    from v2ap_tpu.config import V2APConfig
+    from v2ap_tpu.pipelines.batch_eval import run_batch_eval
+    from v2ap_tpu.pipelines.generate import V2APipeline
+
+    if args.tiny:
+        import dataclasses
+        from v2ap_tpu import config as cfglib
+        from v2ap_tpu.models.t5 import t5_tiny_test
+        from v2ap_tpu.models.clip_vit import clip_tiny_test
+        cfg = cfglib.tiny_test()
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, dim_text=16, dim_context=32, num_channels=8))
+        pipeline = V2APipeline(cfg, t5_config=t5_tiny_test(),
+                               clip_config=clip_tiny_test())
+    else:
+        pipeline = V2APipeline(V2APConfig())
+    if args.ckpt:
+        from v2ap_tpu.utils.checkpoint import load_model
+        load_model(args.ckpt, pipeline.cfm)
+
+    summary = run_batch_eval(
+        pipeline, args.scp, args.out, start=args.start, end=args.end,
+        steps=args.steps, cfg_strength=args.cfg, piano=args.piano,
+        passes=args.passes)
+
+    # optional FAD against a reference corpus
+    if args.ref_dir:
+        from v2ap_tpu.data.audio_io import read_wav
+        from v2ap_tpu.evaluation import metrics
+        try:
+            gen = [read_wav(p)[0][0] for p in
+                   glob.glob(os.path.join(args.out, "*.wav"))]
+            ref = [read_wav(p)[0][0] for p in
+                   glob.glob(os.path.join(args.ref_dir, "*.wav"))]
+            summary["fad"] = metrics.fad(ref, gen)
+        except RuntimeError as exc:
+            summary["fad_error"] = str(exc)
+
+    print(json.dumps(summary))
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -181,3 +181,20 @@ def test_predictor_tiny(tmp_path):
     import os
     assert os.path.exists(out)
     assert out.endswith(".wav") or out.endswith(".mp4")
+
+
+def test_assert_deterministic():
+    from v2ap_tpu.utils.determinism import assert_deterministic, tree_finite_report
+    f = jax.jit(lambda x: jnp.tanh(x) * 2)
+    assert_deterministic(f, jnp.ones((4, 4)))
+
+    class Counter:
+        n = 0
+        def __call__(self, x):
+            Counter.n += 1
+            return x + Counter.n
+    with pytest.raises(AssertionError):
+        assert_deterministic(Counter(), jnp.zeros(3))
+
+    bad = tree_finite_report({"a": jnp.ones(3), "b": jnp.asarray([jnp.nan])})
+    assert len(bad) == 1 and "b" in bad[0]

@@ -44,3 +44,12 @@ def test_dryrun_multichip_full_train_step():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_distributed_helpers_single_process():
+    from v2ap_tpu.parallel.distributed import (
+        all_hosts_mean, host_shard_info, init_distributed)
+    assert init_distributed() is False          # single-process no-op
+    host, hosts = host_shard_info()
+    assert host == 0 and hosts == 1
+    assert all_hosts_mean(3.5) == 3.5

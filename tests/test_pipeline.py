@@ -114,3 +114,16 @@ def test_generate_long_chunked(pipeline, tmp_path):
     assert sr == 24_000
     assert abs(len(wav) - 5 * sr) <= sr // 2
     assert np.isfinite(wav).all()
+
+
+def test_generate_batch_throughput(pipeline, tmp_path):
+    video = str(tmp_path / "bt.mp4")
+    has_video = write_synthetic_video(video, frames=8, fps=4)
+    paths = [video if has_video else None, None, None]
+    prompts = ["drums", "", "rain"]
+    wavs, sr = pipeline.generate_batch(paths, prompts, duration_s=1.0,
+                                       steps=2, seed=3)
+    assert wavs.shape == (3, 24_000)
+    assert np.isfinite(wavs).all()
+    # different prompts produce different clips
+    assert not np.allclose(wavs[1], wavs[2])

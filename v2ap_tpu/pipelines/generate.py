@@ -297,6 +297,61 @@ class V2APipeline:
         samples = int(duration_s * sr)
         return wav[0, :samples], sr
 
+    def generate_batch(
+        self,
+        video_paths: Sequence[Optional[str]],
+        prompts: Sequence[str],
+        *,
+        duration_s: float = 10.0,
+        steps: int = 25,
+        cfg_strength: float = 2.0,
+        piano: bool = False,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, int]:
+        """Throughput mode: many clips ride the batch axis through ONE
+        sampler call (shards over `data` on a pod mesh). All clips share one
+        bucketed duration. Returns (b, samples)."""
+        jnp = self._jnp
+        cond = self.cfg.conditioning
+        sr = cond.sampling_rate
+        b = len(video_paths)
+        assert len(prompts) == b
+        n_valid = int(round(duration_s * sr / cond.frame_size))
+        max_n = ((self.cfg.model.max_seq_len - self.cfg.model.num_registers)
+                 // 96) * 96
+        n_valid = min(n_valid, max_n)
+        n = min(bucket_length(n_valid), max_n)
+
+        text = np.zeros((b, n, self.cfg.model.dim_text), np.float32)
+        frames_roll = np.zeros((b, n, self.cfg.model.notes), np.float32)
+        for i, vp in enumerate(video_paths):
+            if vp is None:
+                continue
+            feats, _ = self.encode_video_frames_clip(vp, n_valid)
+            if feats is not None:
+                text[i, : len(feats)] = feats[:n]
+            if piano:
+                strips = self.encode_piano_frames(vp, n_valid)
+                if strips is not None:
+                    roll = np.asarray(self._encode_frames(
+                        self.cfm, jnp.asarray(strips[None]), n))
+                    frames_roll[i] = roll[0]
+
+        eff = [p if p.strip() else "the sound of X X" for p in prompts]
+        drop = jnp.asarray([not p.strip() for p in prompts])
+        ctx, ctx_mask = self.encode_text(eff)
+        ctx = jnp.where(drop[:, None, None], 0.0, ctx)
+
+        mask = jnp.broadcast_to(jnp.arange(n)[None, :] < n_valid, (b, n))
+        x0 = self._jax.random.normal(
+            self._jax.random.key(seed), (b, n, self.cfg.model.num_channels))
+        sampler = SamplerConfig(steps=steps, cfg_strength=cfg_strength)
+        latents = self._sample(self.cfm, x0, jnp.asarray(text),
+                               jnp.asarray(frames_roll), ctx, ctx_mask,
+                               mask, sampler)
+        wavs = np.asarray(self._decode(self.codec, latents[:, :n_valid]))
+        return wavs[:, : int(duration_s * sr)], sr
+
     def generate_to_file(self, video_path: str, out_path: str, **kw) -> str:
         from v2ap_tpu.data.video_io import mux_audio_onto_video
         wav, sr = self.generate(video_path, **kw)
