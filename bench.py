@@ -40,6 +40,9 @@ def main() -> None:
     model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
                                      with_video2roll=False, rngs=nnx.Rngs(0)))
     codec = create_model(lambda: EncodecModel(rngs=nnx.Rngs(1)))
+    if os.environ.get("V2AP_BENCH_BF16_PARAMS", "1") == "1":
+        from v2ap_tpu.utils.jitting import cast_params
+        cast_params(model, jnp.bfloat16)   # serving: weights stream as bf16
 
     graphdef, state = nnx.split(model)
     cgraph, cstate = nnx.split(codec)

@@ -64,8 +64,7 @@ def main(argv=None) -> int:
     else:
         pipeline = V2APipeline(V2APConfig())
     if args.ckpt:
-        from v2ap_tpu.utils.checkpoint import load_model
-        load_model(args.ckpt, pipeline.cfm)
+        pipeline.load_weights(args.ckpt)
 
     summary = run_batch_eval(
         pipeline, args.scp, args.out, start=args.start, end=args.end,

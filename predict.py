@@ -40,8 +40,7 @@ class Predictor:
         else:
             self.pipeline = V2APipeline(self._cfg or V2APConfig())
         if ckpt:
-            from v2ap_tpu.utils.checkpoint import load_model
-            load_model(ckpt, self.pipeline.cfm)
+            self.pipeline.load_weights(ckpt)
 
     def predict(self, video: str, prompt: str = "",
                 v2a_num_steps: int = 25, if_piano: bool = False,

@@ -162,3 +162,22 @@ def test_sample_multipass_refinement():
     assert not np.allclose(np.asarray(multi), np.asarray(base))
     c = np.corrcoef(np.asarray(multi).ravel(), np.asarray(base).ravel())[0, 1]
     assert c > 0.3
+
+
+def test_tts_token_conditioning_path():
+    """TTS mode: byte tokens -> text stream -> sample (reference tokenizer +
+    embed_text path, bypassed by the shipped V2A configs)."""
+    from v2ap_tpu.data.tokenizers import byte_tokenizer
+    cfg = cfglib.tiny_test()
+    model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
+                                     with_video2roll=False,
+                                     text_num_embeds=256, rngs=nnx.Rngs(0)))
+    enc, _ = byte_tokenizer()
+    tokens = jnp.asarray(enc(["hello world"]))
+    text_embed = model.embed_tokens(tokens, 32)
+    assert text_embed.shape == (1, 32, cfg.model.dim_text)
+    cond = make_cond(cfg)
+    cond["text_embed"] = text_embed
+    x0 = jax.random.normal(jax.random.key(0), (1, 32, cfg.model.num_channels))
+    out = sample_fn(model, x0, cond, SamplerConfig(steps=2, cfg_strength=2.0))
+    assert bool(jnp.isfinite(out).all())

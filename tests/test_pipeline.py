@@ -127,3 +127,15 @@ def test_generate_batch_throughput(pipeline, tmp_path):
     assert np.isfinite(wavs).all()
     # different prompts produce different clips
     assert not np.allclose(wavs[1], wavs[2])
+
+
+def test_pipeline_load_weights_roundtrip(pipeline, tmp_path):
+    from v2ap_tpu.utils.checkpoint import save_model
+    import os
+    ckpt = str(tmp_path / "ckpt")
+    pipeline.cfm.proj_in.kernel[...] = pipeline.cfm.proj_in.kernel[...] * 0 + 3.25
+    save_model(os.path.join(ckpt, "cfm"), pipeline.cfm)
+    pipeline.cfm.proj_in.kernel[...] = pipeline.cfm.proj_in.kernel[...] * 0
+    loaded = pipeline.load_weights(ckpt)
+    assert loaded == ["cfm"]
+    assert float(np.asarray(pipeline.cfm.proj_in.kernel[...]).mean()) == 3.25

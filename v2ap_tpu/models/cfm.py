@@ -56,7 +56,9 @@ class CFMOutput(NamedTuple):
 
 class CFM(nnx.Module):
     def __init__(self, cfg: ModelConfig, cond_cfg: ConditioningConfig | None = None,
-                 *, with_video2roll: bool = True, rngs: nnx.Rngs):
+                 *, with_video2roll: bool = True,
+                 text_num_embeds: int | None = None,
+                 interpolated_text: bool = False, rngs: nnx.Rngs):
         self.cfg = cfg
         self.cond_cfg = cond_cfg or ConditioningConfig()
         dtype = jnp.dtype(cfg.dtype)
@@ -85,6 +87,25 @@ class CFM(nnx.Module):
         self.video2roll = (Video2RollNet(num_classes=cfg.notes, dtype=dtype,
                                          rngs=rngs)
                            if with_video2roll else None)
+
+        # TTS-side token conditioning: char/phoneme ids -> text stream
+        # (reference embed_text, e2_tts_crossatt3.py:1393-1395; the shipped
+        # V2A configs bypass this — the text stream carries CLIP features)
+        if text_num_embeds is not None:
+            from v2ap_tpu.models.duration import (
+                CharacterEmbed, InterpolatedCharacterEmbed)
+            klass = (InterpolatedCharacterEmbed if interpolated_text
+                     else CharacterEmbed)
+            self.embed_text = klass(cfg.dim_text, text_num_embeds, rngs=rngs)
+        else:
+            self.embed_text = None
+
+    def embed_tokens(self, tokens: jnp.ndarray, length: int) -> jnp.ndarray:
+        """Token ids (b, nt; -1 pad) -> text-stream features (b, length,
+        dim_text) for the TTS path."""
+        assert self.embed_text is not None, \
+            "construct CFM with text_num_embeds for token conditioning"
+        return self.embed_text(tokens, length)
 
     # ------------------------------------------------------------------ core
     def pred_head(

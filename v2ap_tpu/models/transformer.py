@@ -224,7 +224,7 @@ class TriStreamTransformer(nnx.Module):
         cond = self.time_mlp(times)           # (b, dim)
 
         # prepend registers to all streams; extend mask with True
-        tile = lambda p: jnp.broadcast_to(p.value[None], (b, r, p.value.shape[-1])).astype(x.dtype)
+        tile = lambda p: jnp.broadcast_to(p[...][None], (b, r, p[...].shape[-1])).astype(x.dtype)
         x = jnp.concatenate([tile(self.registers), x], axis=1)
         text_embed = jnp.concatenate(
             [tile(self.text_registers), text_embed.astype(x.dtype)], axis=1)

@@ -33,13 +33,13 @@ class DepthwiseConv1d(nnx.Module):
             x = jnp.where(mask[..., None], x, 0.0)
         out = lax.conv_general_dilated(
             x.astype(self.dtype),
-            self.kernel.value.astype(self.dtype),
+            self.kernel[...].astype(self.dtype),
             window_strides=(1,),
             padding="SAME",
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.dim,
         )
-        out = out + self.bias.value.astype(self.dtype)
+        out = out + self.bias[...].astype(self.dtype)
         out = nnx.silu(out)
         if mask is not None:
             out = jnp.where(mask[..., None], out, 0.0)

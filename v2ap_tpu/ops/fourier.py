@@ -22,7 +22,7 @@ class RandomFourierEmbed(nnx.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (b,) times in [0, 1]
         x = x.astype(jnp.float32)
-        freqs = x[:, None] * self.weights.value[None, :] * 2.0 * jnp.pi
+        freqs = x[:, None] * self.weights[...][None, :] * 2.0 * jnp.pi
         return jnp.concatenate([x[:, None], jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
 
 

@@ -144,6 +144,25 @@ class V2APipeline:
             lambda m, frames, n: m.encode_frames(frames, n),
             static_argnames="n")
 
+    # ------------------------------------------------------------------ io
+    def load_weights(self, ckpt_dir: str) -> list:
+        """Load converted checkpoints (scripts/convert_checkpoints.py layout:
+        subdirs cfm/ encodec/ t5/ clip/ — whichever exist). Returns the list
+        of components loaded."""
+        import os
+        from v2ap_tpu.utils.checkpoint import load_model
+        loaded = []
+        for name, model in (("cfm", self.cfm), ("encodec", self.codec),
+                            ("t5", self.t5), ("clip", self.clip)):
+            path = os.path.join(ckpt_dir, name)
+            if os.path.isdir(path):
+                load_model(path, model)
+                loaded.append(name)
+        if not loaded and os.path.isdir(ckpt_dir):
+            load_model(ckpt_dir, self.cfm)     # bare CFM checkpoint dir
+            loaded.append("cfm")
+        return loaded
+
     # ------------------------------------------------------------ conditioning
     def encode_text(self, prompts: Sequence[str]):
         ids, mask = self.tokenize(list(prompts))
