@@ -147,3 +147,25 @@ def test_tts_dataset(tmp_path):
     batch = next(ds.batches(2, target_frames=75))
     assert batch["waveforms"].shape == (2, 75 * 320)
     assert batch["tokens"].shape[0] == 2
+
+
+def test_hf_audio_dataset_with_fake_backend():
+    """HFAudioDataset over a list-backed fake (the 'datasets' pkg shape)."""
+    from v2ap_tpu.data.extra_datasets import HFAudioDataset
+
+    rng = np.random.default_rng(0)
+    rows = [
+        {"audio": {"array": rng.normal(size=24_000) * 0.2,
+                   "sampling_rate": 24_000}, "text": "a"},
+        {"audio": {"array": rng.normal(size=100),          # too short: skipped
+                   "sampling_rate": 24_000}, "text": "b"},
+        {"audio": {"array": rng.normal(size=48_000) * 0.2,
+                   "sampling_rate": 48_000}, "text": "c"},  # resampled
+    ]
+    ds = HFAudioDataset(rows)
+    assert ds.get(1) is None
+    wav, cap = ds.get(2)
+    assert cap == "c" and abs(wav.shape[-1] - 24_000) <= 1
+    batch = next(ds.batches(2, target_frames=75, seed=0))
+    assert batch["waveforms"].shape == (2, 75 * 320)
+    assert all(c in ("a", "c") for c in batch["captions"])
