@@ -21,11 +21,10 @@ def timeit(fn, n=5):
 
 
 def main():
-    from v2ap_tpu.utils.jitting import enable_compile_cache, create_model
+    from v2ap_tpu.utils.jitting import enable_compile_cache
     enable_compile_cache()
     import jax
     import jax.numpy as jnp
-    from flax import nnx
     from v2ap_tpu.ops.flash_attention import attention_reference, flash_attention
 
     b, h, n, d = 2, 16, 768, 64

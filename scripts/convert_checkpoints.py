@@ -75,7 +75,6 @@ def main() -> int:
         print("converted clip")
 
     if args.cfm_ckpt:
-        import dataclasses
         from v2ap_tpu.models.cfm import CFM
         from v2ap_tpu.utils.reference_ckpt import load_reference_checkpoint
         cfg = (cfglib.v2p_88key() if args.notes == 88 else cfglib.V2APConfig())

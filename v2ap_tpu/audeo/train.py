@@ -13,7 +13,6 @@ Both steps are single jitted programs; oversampling/balancing stays on host
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Iterator
 
 import jax

@@ -23,8 +23,6 @@ backbone traces into one XLA computation.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax.numpy as jnp
 from flax import nnx
 

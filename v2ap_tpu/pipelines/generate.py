@@ -17,10 +17,9 @@ flash-attention kernel).
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -17,8 +17,6 @@ Here they are first-class:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ jitted on device:
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 
@@ -28,9 +27,8 @@ class TrainingPipeline:
                  work_dir: str = "runs/v2ap", tiny: bool = False,
                  t5_config=None, clip_config=None, encodec_config=None):
         import jax
-        from flax import nnx
         from v2ap_tpu.pipelines.generate import V2APipeline
-        from v2ap_tpu.training.trainer import Trainer, make_eval_step
+        from v2ap_tpu.training.trainer import Trainer
         from v2ap_tpu.training.resilience import AutoResumer, Watchdog
         from v2ap_tpu.utils.observability import MetricsLogger
 
@@ -106,7 +104,6 @@ class TrainingPipeline:
     def fit(self, batcher, *, num_steps: int, eval_batcher=None,
             log_every: int = 20, seed: int = 0) -> int:
         import jax
-        from v2ap_tpu.training.resilience import GradGuard
 
         start = self.resumer.maybe_resume()
         rng = jax.random.key(seed + start)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Iterator, Optional
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
