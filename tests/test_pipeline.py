@@ -139,3 +139,24 @@ def test_pipeline_load_weights_roundtrip(pipeline, tmp_path):
     loaded = pipeline.load_weights(ckpt)
     assert loaded == ["cfm"]
     assert float(np.asarray(pipeline.cfm.proj_in.kernel[...]).mean()) == 3.25
+
+
+def test_generate_long_sharded_over_mesh(pipeline, tmp_path):
+    """BASELINE config 5: long-video chunks shard over the (virtual) 8-device
+    mesh — one ODE integration spread across chips."""
+    import jax
+    from v2ap_tpu.config import MeshConfig
+    from v2ap_tpu.parallel import make_mesh, shard_model
+    from v2ap_tpu.pipelines.merge import generate_long
+
+    video = str(tmp_path / "mesh.mp4")
+    if not write_synthetic_video(video, frames=20, fps=4):
+        pytest.skip("cv2 video writer unavailable")
+    mesh = make_mesh(MeshConfig(), jax.devices())      # data=8
+    shard_model(pipeline.cfm, mesh)
+    shard_model(pipeline.codec, mesh)
+    wav, sr = generate_long(pipeline, video, "drums", chunk_s=2.0,
+                            overlap_s=0.5, steps=2, seed=0, mesh=mesh)
+    assert sr == 24_000
+    assert abs(len(wav) - 5 * sr) <= sr // 2
+    assert np.isfinite(wav).all()

@@ -185,3 +185,24 @@ def test_grad_accumulation_matches_full_batch():
     p1 = np.asarray(model1.proj_in.kernel[...])
     p2 = np.asarray(model2.proj_in.kernel[...])
     assert np.isfinite(p1).all() and np.isfinite(p2).all()
+
+
+def test_contrastive_train_step_variant6():
+    import optax
+    from v2ap_tpu.training.contrastive import (
+        FactorCL, make_contrastive_train_step)
+    cfg, model = build_model()
+    fcl = create_model(lambda: FactorCL(cfg.model.dim, cfg.model.dim_text,
+                                        rngs=nnx.Rngs(2)))
+    opt = nnx.Optimizer(model, optax.adam(1e-4), wrt=nnx.Param)
+    fopt = nnx.Optimizer(fcl, optax.adam(1e-4), wrt=nnx.Param)
+    step = make_contrastive_train_step(fcl)
+    batch = make_batch(cfg, b=8)
+    loss, loss_fm, loss_con = step(model, fcl, opt, fopt,
+                                   jax.random.key(0), batch)
+    assert np.isfinite(float(loss)) and np.isfinite(float(loss_con))
+    assert float(loss_con) != 0.0
+    # small batches skip the contrastive term (reference gate b >= 8)
+    loss2, _, loss_con2 = step(model, fcl, opt, fopt, jax.random.key(1),
+                               make_batch(cfg, b=4))
+    assert float(loss_con2) == 0.0

@@ -120,12 +120,16 @@ class CFM(nnx.Module):
         context: Optional[jnp.ndarray],       # (b, nc, dim_context)
         context_mask: Optional[jnp.ndarray],  # (b, nc)
         deterministic: bool = True,
+        collect_hidden_layer: Optional[int] = None,
     ) -> jnp.ndarray:
         """One transformer evaluation -> predicted flow (b, n, C).
 
         Condition dropping is expressed by the caller zeroing the tensors
         (matching the reference's semantics of zeroing *after* encoding,
-        e2_tts_crossatt3.py:2015-2062).
+        e2_tts_crossatt3.py:2015-2062). ``collect_hidden_layer`` additionally
+        returns (audio, clip-stream) hiddens at that layer for the FactorCL
+        contrastive loss (the variant-6 model family,
+        e2_tts_crossatt6.py:1027-1061).
         """
         if cond is not None and self.cfg.concat_cond:
             h = self.proj_in(jnp.concatenate([cond, x], axis=-1))
@@ -142,7 +146,11 @@ class CFM(nnx.Module):
         out = self.transformer(
             h, times=times, mask=mask, text_embed=text_embed,
             frames_embed=frames_stream, context=context,
-            context_mask=context_mask, deterministic=deterministic)
+            context_mask=context_mask, deterministic=deterministic,
+            collect_hidden_layer=collect_hidden_layer)
+        if collect_hidden_layer is not None:
+            out, collected = out
+            return self.to_pred(out).astype(jnp.float32), collected
         return self.to_pred(out).astype(jnp.float32)
 
     # ------------------------------------------------------------- perception

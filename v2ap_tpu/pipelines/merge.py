@@ -61,11 +61,16 @@ def generate_long(pipeline, video_path: str, prompt: str = "", *,
                   chunk_s: float = 10.0, overlap_s: float = 1.0,
                   steps: int = 25, cfg_strength: float = 2.0,
                   piano: bool = False, seed: int = 0,
-                  max_duration_s: float = 600.0) -> Tuple[np.ndarray, int]:
+                  max_duration_s: float = 600.0,
+                  mesh=None) -> Tuple[np.ndarray, int]:
     """Generate audio for an arbitrarily long video by batched chunking.
 
     All chunks share one CLIP feature pass over the full video (cached), then
-    sample as ONE batch through the jitted CFM sampler.
+    sample as ONE batch through the jitted CFM sampler. With ``mesh`` given
+    (e.g. a v5e-8 `Mesh`), the chunk batch shards over the mesh's data axis —
+    one ODE integration spread across all chips (BASELINE config 5). Shard
+    the model first (`parallel.shard_model`); the chunk count pads up to a
+    multiple of the data-axis size.
     """
     import jax
     import jax.numpy as jnp
@@ -85,7 +90,11 @@ def generate_long(pipeline, video_path: str, prompt: str = "", *,
     plan = chunk_plan(duration, chunk_s, overlap_s)
     n_chunk = int(round(chunk_s * sr / cond.frame_size))
     n = bucket_length(n_chunk)
-    b = len(plan)
+    real_b = len(plan)
+    dp = 1
+    if mesh is not None:
+        dp = mesh.shape[mesh.axis_names[0]]
+    b = ((real_b + dp - 1) // dp) * dp       # pad chunk batch to the mesh
 
     text = np.zeros((b, n, cfg.model.dim_text), np.float32)
     frames_roll = np.zeros((b, n, cfg.model.notes), np.float32)
@@ -115,16 +124,23 @@ def generate_long(pipeline, video_path: str, prompt: str = "", *,
     mask = jnp.broadcast_to(mask, (b, n))
     x0 = jax.random.normal(jax.random.key(seed),
                            (b, n, cfg.model.num_channels))
+    text = jnp.asarray(text)
+    frames_roll = jnp.asarray(frames_roll)
+    if mesh is not None:
+        from v2ap_tpu.parallel import batch_sharding
+        bs = batch_sharding(mesh)
+        put = lambda a: jax.device_put(a, bs)
+        x0, text, frames_roll = put(x0), put(text), put(frames_roll)
+        ctx, ctx_mask, mask = put(ctx), put(ctx_mask), put(mask)
     sampler = SamplerConfig(steps=steps, cfg_strength=cfg_strength)
-    latents = pipeline._sample(pipeline.cfm, x0, jnp.asarray(text),
-                               jnp.asarray(frames_roll), ctx, ctx_mask,
-                               mask, sampler)
+    latents = pipeline._sample(pipeline.cfm, x0, text, frames_roll, ctx,
+                               ctx_mask, mask, sampler)
     wavs = np.asarray(pipeline._decode(pipeline.codec, latents[:, :n_chunk]))
     chunk_samples = n_chunk * cond.frame_size
-    wavs = wavs[:, :chunk_samples]
+    wavs = wavs[:real_b, :chunk_samples]
     overlap_samples = int(overlap_s * sr)
     merged = (crossfade_concat(wavs, overlap_samples)
-              if b > 1 else wavs[0])
+              if real_b > 1 else wavs[0])
     return merged[: int(duration * sr)], sr
 
 

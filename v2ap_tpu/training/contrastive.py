@@ -105,3 +105,55 @@ def sample_contrastive_features(audio_hidden: jnp.ndarray,
     b = b[:, t, :]
     labels = jnp.arange(a.shape[0])
     return a, b, labels
+
+
+def make_contrastive_train_step(fcl: FactorCL, *, layer: int = 1,
+                                weight: float = 1.0,
+                                min_batch: int = 8):
+    """Variant-6 train step: flow-matching loss + FactorCL CLUB alignment on
+    the layer-``layer`` hidden states of batch rows 2..8 (reference
+    e2_tts_crossatt6.py:1027-1061: contrastive only when batch >= 8).
+
+    The FactorCL heads/critic train jointly through the combined loss; its
+    InfoNCE learning loss trains the critic's density-ratio estimate."""
+    from flax import nnx
+    from v2ap_tpu.ops import lens_to_mask
+
+    @nnx.jit
+    def step(model, fcl_mod, optimizer, fcl_opt, rng, batch):
+        x1 = batch["latents"].astype(jnp.float32)
+        lens = batch["lens"]
+        b, n, c = x1.shape
+        mask = lens_to_mask(lens, n)
+        k_x0, k_t, k_ts = jax.random.split(rng, 3)
+        x0 = jax.random.normal(k_x0, x1.shape)
+        t = jax.random.uniform(k_t, (b,))
+        w = (1.0 - t[:, None, None]) * x0 + t[:, None, None] * x1
+        flow = x1 - x0
+
+        def loss_fn(m, f):
+            pred, (ah, th) = m.pred_head(
+                w, None, times=t, mask=mask,
+                text_embed=batch["text_embed"],
+                frames_embed=jnp.zeros((b, n, m.cfg.notes), jnp.float32),
+                context=batch.get("context"),
+                context_mask=batch.get("context_mask"),
+                collect_hidden_layer=layer)
+            loss_fm = jnp.mean(
+                jnp.where(mask[..., None], (pred - flow) ** 2, 0.0)
+            ) * (mask.size * c) / jnp.maximum(mask.sum() * c, 1)
+            if b >= min_batch:
+                fa, fb, labels = sample_contrastive_features(
+                    ah, th, m.cfg.num_registers, k_ts)
+                loss_con = f(fa, fb, labels) + f.learning_loss(fa, fb, labels)
+            else:
+                loss_con = jnp.asarray(0.0)
+            return loss_fm + weight * loss_con, (loss_fm, loss_con)
+
+        (loss, (loss_fm, loss_con)), grads = nnx.value_and_grad(
+            loss_fn, has_aux=True, argnums=(0, 1))(model, fcl_mod)
+        optimizer.update(model, grads[0])
+        fcl_opt.update(fcl_mod, grads[1])
+        return loss, loss_fm, loss_con
+
+    return step
