@@ -1,41 +1,66 @@
-"""Benchmark: V2A realtime factor on one TPU chip.
+"""Benchmark: V2A realtime factors on one TPU chip.
 
-Measures the full latent pipeline of the serving path — 25-step sway-Euler CFM
-sampling with CFG (two branches folded into one batch-doubled forward per
-step) followed by EnCodec decoding to waveform — on the flagship 12x1024
-model, and reports audio-seconds per wall-second.
+Two families of numbers (VERDICT r01 weak #3 — conditioning encoders must be
+inside the timed region):
+
+  * end-to-end serving (primary metric): synthetic ~10 s video -> host decode
+    -> CLIP ViT-bigG per-frame encoding -> FLAN-T5-large prompt -> 25-step
+    sway-Euler CFM sampling with CFG -> EnCodec decode, via the real
+    ``V2APipeline.generate`` with the feature cache disabled (the reference's
+    serving wall-clock includes these encoders, predict.py:210-297)
+  * hot loop: sampling + EnCodec decode only (round-1 metric, kept for
+    cross-round comparability), plus a V2P end-to-end variant with the
+    Video2Roll piano branch and an optional batched-throughput mode.
 
 Baseline: the reference publishes no numbers (BASELINE.md); the north star is
 >=10x realtime per v5e chip at 25 steps, so ``vs_baseline`` = value / 10.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import tempfile
 import time
 
 import numpy as np
 
 
-def main() -> None:
-    from v2ap_tpu.utils.jitting import enable_compile_cache, create_model
-    enable_compile_cache()
+def _write_video(path: str, seconds: float = 9.8, fps: int = 24,
+                 size=(640, 360)) -> bool:
+    """Synthetic serving clip (the repo has no LFS media; cv2 is the decoder
+    the pipeline uses, so encode with it too)."""
+    try:
+        import cv2
+    except ImportError:
+        return False
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    if not w.isOpened():
+        return False
+    rng = np.random.default_rng(0)
+    n = int(seconds * fps)
+    base = rng.integers(0, 255, (size[1], size[0], 3), dtype=np.uint8)
+    for i in range(n):
+        frame = np.roll(base, 3 * i, axis=1)
+        w.write(frame)
+    w.release()
+    return os.path.getsize(path) > 0
 
+
+def bench_hot_loop(cfg, sampler, result: dict) -> None:
+    """Round-1 metric: jitted sample+decode on random conditioning."""
     import jax
     import jax.numpy as jnp
     from flax import nnx
-    from v2ap_tpu.config import V2APConfig, SamplerConfig
     from v2ap_tpu.models.cfm import CFM
     from v2ap_tpu.models.encodec import EncodecModel
-
-    cfg = V2APConfig()
-    sampler = SamplerConfig(steps=25, cfg_strength=2.0, sway_sampling=True)
+    from v2ap_tpu.utils.jitting import create_model
 
     b, n, nc = 1, 736, 16            # 736 latent frames + 32 registers = 768
-    audio_seconds = b * n * cfg.conditioning.frame_size / cfg.conditioning.sampling_rate
+    audio_seconds = (b * n * cfg.conditioning.frame_size
+                     / cfg.conditioning.sampling_rate)
 
     model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
                                      with_video2roll=False, rngs=nnx.Rngs(0)))
@@ -76,16 +101,8 @@ def main() -> None:
         wav = generate(state, cstate, x0_i, text, frames, ctx, ctx_mask)
         _ = np.asarray(wav[:, :8])        # forces full execution
         times.append(time.perf_counter() - t0)
-
-    wall = float(np.median(times))
-    rtf = audio_seconds / wall
-
-    result = {
-        "metric": "v2a_realtime_factor_25step_cfg_encodec",
-        "value": round(rtf, 3),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtf / 10.0, 3),
-    }
+    result["hot_loop_x_realtime"] = round(
+        audio_seconds / float(np.median(times)), 3)
 
     # throughput mode (clips riding the batch axis): opt-in, extra keys only
     tb = int(os.environ.get("V2AP_BENCH_THROUGHPUT_BATCH", "0"))
@@ -106,7 +123,73 @@ def main() -> None:
         result["clips_per_min"] = round(tb / tput_wall * 60.0, 2)
         result["throughput_x_realtime"] = round(tb * clip_s / tput_wall, 2)
 
-    print(json.dumps(result))
+
+def bench_end_to_end(cfg, result: dict) -> float | None:
+    """BASELINE configs 1 (V2A) and 3 (V2P): the real serving pipeline with
+    full-size frozen towers, encoders inside the timed region."""
+    import dataclasses
+    from v2ap_tpu.pipelines.generate import V2APipeline
+
+    video = os.path.join(tempfile.gettempdir(), "v2ap_bench_clip.mp4")
+    if not os.path.exists(video) and not _write_video(video):
+        return None
+
+    cfg = cfg.replace(conditioning=dataclasses.replace(
+        cfg.conditioning, feature_cache=False))   # every run pays CLIP
+    pipe = V2APipeline(cfg, seed=0)
+
+    def run(piano: bool, seed: int):
+        t0 = time.perf_counter()
+        wav, sr = pipe.generate(video, prompt="", steps=25, piano=piano,
+                                seed=seed)
+        return len(wav) / sr, time.perf_counter() - t0
+
+    # V2A: warmup (compiles), then timed runs
+    run(False, 0)
+    times, audio_s = [], 0.0
+    for i in range(2):
+        audio_s, wall = run(False, i + 1)
+        times.append(wall)
+    e2e = audio_s / float(np.median(times))
+    result["e2e_audio_seconds"] = round(audio_s, 2)
+
+    # V2P (piano branch: strips -> Video2Roll -> roll stream)
+    run(True, 0)
+    audio_s, wall = run(True, 1)
+    result["v2p_e2e_x_realtime"] = round(audio_s / wall, 3)
+    return e2e
+
+
+def main() -> None:
+    from v2ap_tpu.utils.jitting import enable_compile_cache
+    enable_compile_cache()
+
+    from v2ap_tpu.config import V2APConfig, SamplerConfig
+
+    cfg = V2APConfig()
+    sampler = SamplerConfig(steps=25, cfg_strength=2.0, sway_sampling=True)
+
+    result: dict = {}
+    bench_hot_loop(cfg, sampler, result)
+    try:
+        e2e = bench_end_to_end(cfg, result)
+    except Exception as exc:          # report the hot loop even if e2e breaks
+        result["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        e2e = None
+
+    if e2e is not None:
+        primary = {"metric": "v2a_e2e_realtime_factor_25step",
+                   "value": round(e2e, 3),
+                   "unit": "x_realtime_per_chip",
+                   "vs_baseline": round(e2e / 10.0, 3)}
+    else:
+        hot = result["hot_loop_x_realtime"]
+        primary = {"metric": "v2a_realtime_factor_25step_cfg_encodec",
+                   "value": hot,
+                   "unit": "x_realtime_per_chip",
+                   "vs_baseline": round(hot / 10.0, 3)}
+    primary.update(result)
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":

@@ -31,16 +31,45 @@ def main() -> int:
     ap.add_argument("--encodec", default=None, help="HF snapshot dir")
     ap.add_argument("--t5", default=None, help="HF snapshot dir")
     ap.add_argument("--clip", default=None, help="HF snapshot dir")
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--out", default=None)
     ap.add_argument("--notes", type=int, default=51,
                     help="51 (shipped) or 88 (full-keyboard variant)")
+    ap.add_argument("--dinov2", default=None, help="HF snapshot dir")
+    ap.add_argument("--convnext", default=None,
+                    help="HF ConvNextModel snapshot dir (trunk only)")
+    ap.add_argument("--pann", default=None,
+                    help="Cnn14*.pth checkpoint (FAD embedder)")
+    ap.add_argument("--audit", action="store_true",
+                    help="print a full consumed/unconsumed key report for "
+                         "--cfm-ckpt and exit without writing")
     args = ap.parse_args()
+    if not args.audit and not args.out:
+        ap.error("--out is required unless --audit")
 
     from v2ap_tpu.utils.jitting import enable_compile_cache, create_model
     enable_compile_cache()
     from flax import nnx
     from v2ap_tpu import config as cfglib
     from v2ap_tpu.utils.checkpoint import save_model
+
+    if args.audit:
+        if not args.cfm_ckpt:
+            ap.error("--audit requires --cfm-ckpt")
+        import json
+
+        import torch
+        from v2ap_tpu.models.cfm import CFM
+        from v2ap_tpu.utils.reference_manifest import audit_state_dict
+        ckpt = torch.load(args.cfm_ckpt, map_location="cpu",
+                          weights_only=False)
+        sd = ckpt.get("model_state_dict", ckpt)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        cfg = (cfglib.v2p_88key() if args.notes == 88 else cfglib.V2APConfig())
+        cfm = create_model(lambda: CFM(cfg.model, cfg.conditioning,
+                                       rngs=nnx.Rngs(0)))
+        report = audit_state_dict(sd, cfm)
+        print(json.dumps(report, indent=2))
+        return 0 if not report["unexpected_unconsumed"] else 1
 
     os.makedirs(args.out, exist_ok=True)
 
@@ -73,6 +102,36 @@ def main() -> int:
             clip)
         save_model(os.path.join(args.out, "clip"), clip)
         print("converted clip")
+
+    if args.dinov2:
+        from transformers import Dinov2Model as HFDinov2
+        from v2ap_tpu.models.dinov2 import Dinov2Model
+        from v2ap_tpu.utils.torch_convert import load_dinov2_from_torch
+        dino = create_model(lambda: Dinov2Model(rngs=nnx.Rngs(0)))
+        load_dinov2_from_torch(HFDinov2.from_pretrained(args.dinov2).eval(),
+                               dino)
+        save_model(os.path.join(args.out, "dinov2"), dino)
+        print("converted dinov2")
+
+    if args.convnext:
+        from transformers import ConvNextModel as HFConvNext
+        from v2ap_tpu.models.convnext import ConvNextCLIP
+        from v2ap_tpu.utils.torch_convert import load_convnext_from_torch
+        cnx = create_model(lambda: ConvNextCLIP(rngs=nnx.Rngs(0)))
+        load_convnext_from_torch(
+            HFConvNext.from_pretrained(args.convnext).eval(), cnx)
+        save_model(os.path.join(args.out, "clip_convnext"), cnx)
+        print("converted convnext (trunk; pass open_clip head via "
+              "torch_convert.load_convnext_from_torch head_state)")
+
+    if args.pann:
+        import torch
+        from v2ap_tpu.evaluation.pann import Cnn14, load_pann_from_state_dict
+        pann = create_model(lambda: Cnn14(rngs=nnx.Rngs(0)))
+        ckpt = torch.load(args.pann, map_location="cpu", weights_only=False)
+        load_pann_from_state_dict(ckpt.get("model", ckpt), pann)
+        save_model(os.path.join(args.out, "pann"), pann)
+        print("converted pann cnn14")
 
     if args.cfm_ckpt:
         from v2ap_tpu.models.cfm import CFM

@@ -33,6 +33,21 @@ from v2ap_tpu.utils.jitting import enable_compile_cache  # noqa: E402
 enable_compile_cache()
 
 
+# fast health-check subset: `pytest -m smoke` finishes in a few minutes warm
+# (the full suite needs ~20+ min cold because of XLA compiles). Module-level
+# whitelist rather than per-test marks so new tests in these files stay in.
+_SMOKE_MODULES = {
+    "test_data", "test_merge", "test_native", "test_audeo", "test_extras",
+    "test_serving", "test_fad", "test_ops", "test_reference_ckpt",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -99,6 +99,80 @@ def test_clip_preprocess():
     assert np.isfinite(out).all()
 
 
+def test_dinov2_parity_with_torch():
+    """JAX Dinov2 tower vs HF torch Dinov2Model (pooler_output), both MLP and
+    the giant variant's SwiGLU feed-forward."""
+    torch = pytest.importorskip("torch")
+    from transformers import Dinov2Config as HFDinoConfig
+    from transformers import Dinov2Model as HFDinov2
+    from v2ap_tpu.models.dinov2 import Dinov2Model, dinov2_tiny_test
+    from v2ap_tpu.utils.torch_convert import load_dinov2_from_torch
+
+    for swiglu in (True, False):
+        cfg = dinov2_tiny_test()
+        import dataclasses
+        cfg = dataclasses.replace(cfg, use_swiglu_ffn=swiglu)
+        hf_cfg = HFDinoConfig(
+            hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
+            num_attention_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
+            use_swiglu_ffn=swiglu, image_size=cfg.image_size,
+            patch_size=cfg.patch_size, layerscale_value=cfg.layerscale_value,
+            layer_norm_eps=cfg.layer_norm_eps, hidden_act="gelu",
+            attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+            drop_path_rate=0.0)
+        torch.manual_seed(0)
+        tmodel = HFDinov2(hf_cfg).eval()
+
+        jmodel = create_model(lambda: Dinov2Model(cfg, rngs=nnx.Rngs(0)))
+        load_dinov2_from_torch(tmodel, jmodel)
+
+        rng = np.random.default_rng(0)
+        px = rng.normal(size=(2, 3, cfg.image_size, cfg.image_size)
+                        ).astype(np.float32)
+        with torch.no_grad():
+            t_out = tmodel(pixel_values=torch.from_numpy(px)
+                           ).pooler_output.numpy()
+        j_out = np.asarray(clip_fwd(jmodel,
+                                    jnp.asarray(px.transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(j_out, t_out, rtol=2e-3, atol=2e-4)
+
+
+def test_convnext_trunk_parity_with_torch():
+    """JAX ConvNeXt trunk vs HF torch ConvNextModel (pooler_output = pooled,
+    layer-normed features); the open_clip MLP head is shape-checked."""
+    torch = pytest.importorskip("torch")
+    from transformers import ConvNextConfig as HFConvNextConfig
+    from transformers import ConvNextModel as HFConvNext
+    from v2ap_tpu.models.convnext import ConvNextCLIP, convnext_tiny_test
+    from v2ap_tpu.utils.torch_convert import load_convnext_from_torch
+
+    cfg = convnext_tiny_test()
+    hf_cfg = HFConvNextConfig(
+        depths=list(cfg.depths), hidden_sizes=list(cfg.hidden_sizes),
+        image_size=cfg.image_size, layer_norm_eps=cfg.layer_norm_eps,
+        layer_scale_init_value=cfg.layer_scale_init, drop_path_rate=0.0,
+        hidden_act="gelu")
+    torch.manual_seed(0)
+    tmodel = HFConvNext(hf_cfg).eval()
+
+    jmodel = create_model(lambda: ConvNextCLIP(cfg, rngs=nnx.Rngs(0)))
+    load_convnext_from_torch(tmodel, jmodel)
+
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(2, 3, cfg.image_size, cfg.image_size)
+                    ).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(pixel_values=torch.from_numpy(px)
+                       ).pooler_output.numpy()
+    jx = jnp.asarray(px.transpose(0, 2, 3, 1))
+    j_pooled = np.asarray(nnx.jit(lambda m, x: m.pooled(x))(jmodel, jx))
+    np.testing.assert_allclose(j_pooled, t_out, rtol=2e-3, atol=2e-4)
+    # projection head output width
+    emb = np.asarray(clip_fwd(jmodel, jx))
+    assert emb.shape == (2, cfg.embed_dim)
+    assert np.isfinite(emb).all()
+
+
 def test_video2roll_parity_with_torch_reference():
     """Behavioral parity of the JAX Video2RollNet against the Audeo torch
     implementation (random shared weights, the real 5x100x900 input)."""

@@ -152,11 +152,10 @@ def test_frechet_distance_identity_and_shift():
     assert fad_from_embeddings(a, c) > 0.5
 
 
-def test_fad_requires_embedder():
+def test_fad_with_custom_embedder():
+    """An explicitly registered embedder overrides the built-in PANN default
+    (the default itself is covered in tests/test_fad.py)."""
     from v2ap_tpu.evaluation import metrics
-    metrics.set_embedder(None)
-    with pytest.raises(RuntimeError):
-        metrics.fad([np.zeros(100)], [np.zeros(100)])
     metrics.set_embedder(lambda w, sr: np.asarray([[w.mean(), w.std()]]))
     try:
         val = metrics.fad([np.random.default_rng(0).normal(size=1000)
@@ -198,3 +197,37 @@ def test_assert_deterministic():
 
     bad = tree_finite_report({"a": jnp.ones(3), "b": jnp.asarray([jnp.nan])})
     assert len(bad) == 1 and "b" in bad[0]
+
+
+def test_zh_phoneme_table_vendored():
+    """The 1342-symbol zh scheme works with no jieba/pypinyin installed
+    (vendored table; reference e2_tts_crossatt3.py:230-257), including the
+    reference's case-insensitive letter ids."""
+    from v2ap_tpu.data.tokenizers import (
+        ZH_NUM_PHONEMES, zh_phoneme_table, zh_tokens_to_ids,
+        phoneme_zh_tokenizer)
+    table = zh_phoneme_table()
+    assert ZH_NUM_PHONEMES == 1342
+    assert max(table.values()) == 1341
+    assert table["，"] == 0
+    assert table["a1"] == 5                  # puncs(4) then pinyins
+    assert table["A"] == table["a"]          # reference collision preserved
+    assert table[" "] == 1341
+    ids = zh_tokens_to_ids(["ni3", "hao3", "OK"], table)
+    assert ids[:2] == [table["ni3"], table["hao3"]]
+    assert ids[2:] == [table["o"], table["k"]]
+    enc, vocab = phoneme_zh_tokenizer()
+    assert vocab == 1342
+    out = enc(["ni3 hao3"])
+    assert out.shape[0] == 1 and (out >= 0).sum() >= 2
+
+
+def test_piano_coords_reference_defaults():
+    """The reference's actual 24+3 crop boxes ship as the default registry
+    (reference src/audeo/piano_coords.py:1-8)."""
+    from v2ap_tpu.audeo import piano_coords as pc
+    assert pc.get("train_00") == (674, 863, 68, 1869)   # (t, b, l, r)
+    assert pc.get("test_02") == (671, 871, 40, 1879)
+    assert len(pc.reference_boxes("train")) == 24
+    assert len(pc.reference_boxes("test")) == 3
+    assert pc.reference_boxes("train")[0] == (68, 674, 1869, 863)

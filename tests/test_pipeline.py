@@ -160,3 +160,46 @@ def test_generate_long_sharded_over_mesh(pipeline, tmp_path):
     assert sr == 24_000
     assert abs(len(wav) - 5 * sr) <= sr // 2
     assert np.isfinite(wav).all()
+
+
+def test_all_video_encoder_modes_construct_and_generate(tmp_path):
+    """Every ``video_encoder`` value of the reference constructs and produces
+    audio: clip_vit / clip_vit2 / clip_convnext / dinov2 / mixed (4608-style
+    concat through CFM.proj_text; reference e2_tts_crossatt3.py:1421-1465)."""
+    import dataclasses
+    from v2ap_tpu.models.clip_vit import CLIPVisionConfig
+    from v2ap_tpu.models.convnext import convnext_tiny_test
+    from v2ap_tpu.models.dinov2 import dinov2_tiny_test
+
+    video = str(tmp_path / "enc.mp4")
+    if not write_synthetic_video(video, frames=6, fps=4):
+        pytest.skip("cv2 video writer unavailable")
+
+    towers = {
+        "clip_vit": clip_tiny_test(),                       # proj 16
+        "clip_vit2": CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_layers=1, num_heads=4,
+            image_size=28, patch_size=14, projection_dim=12,
+            hidden_act="quick_gelu", dtype="float32"),      # proj 12
+        "clip_convnext": convnext_tiny_test(),              # embed 24
+        "dinov2": dinov2_tiny_test(),                       # hidden 32
+    }
+    dims = {"clip_vit": 16, "clip_vit2": 12, "clip_convnext": 24,
+            "dinov2": 32}
+
+    for mode in ("clip_vit", "clip_vit2", "clip_convnext", "dinov2", "mixed"):
+        cfg = tiny_pipeline_cfg()
+        tdim = sum(dims.values()) if mode == "mixed" else dims[mode]
+        model = dataclasses.replace(
+            cfg.model,
+            dim_text=dims["clip_vit"],
+            dim_text_raw=tdim if tdim != dims["clip_vit"] else None)
+        cond = dataclasses.replace(cfg.conditioning, video_encoder=mode,
+                                   feature_cache=False)
+        cfg = cfg.replace(model=model, conditioning=cond)
+        pipe = V2APipeline(cfg, t5_config=t5_tiny_test(),
+                           tower_configs=towers)
+        assert pipe.video_embed_dim == tdim
+        wav, sr = pipe.generate(video, "a test", duration_s=1.0, steps=2,
+                                seed=0)
+        assert sr == 24_000 and np.isfinite(wav).all() and len(wav) > 0

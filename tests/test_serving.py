@@ -169,3 +169,17 @@ def test_hf_audio_dataset_with_fake_backend():
     batch = next(ds.batches(2, target_frames=75, seed=0))
     assert batch["waveforms"].shape == (2, 75 * 320)
     assert all(c in ("a", "c") for c in batch["captions"])
+
+
+def test_inference_cli_positional_compat():
+    """The reference's positional argv form (`ckpt drop_prompt scp start end
+    out`, src/inference_v2a.py:3-11) parses identically to the flag form."""
+    import importlib
+    mod = importlib.import_module("inference_v2a")
+    ns = mod.parse_args(["ckpts/m", "1", "tests/vgg_test.scp", "0", "4",
+                         "outputs/"])
+    assert (ns.ckpt, ns.drop_prompt, ns.scp) == ("ckpts/m", True,
+                                                 "tests/vgg_test.scp")
+    assert (ns.start, ns.end, ns.out, ns.steps) == (0, 4, "outputs/", 64)
+    ns2 = mod.parse_args(["--scp", "x.scp", "--out", "o", "--steps", "8"])
+    assert ns2.steps == 8 and not ns2.drop_prompt

@@ -55,3 +55,41 @@ def test_resume_from_checkpoint(tiny_training, tmp_path):
     pipe, tmp = tiny_training
     step = pipe.resumer.maybe_resume()
     assert step >= 2                       # restored the step-4-run state
+
+
+def test_video_drop_prompt_keeps_clip_stream(tiny_training, tmp_path):
+    """Regression (round-1 VERDICT weak #1): video_drop_prompt must only swap
+    the T5 prompt to "the sound of X X" and zero the prompt *context*; the
+    CLIP video stream stays active (reference trainer...3.py:385-390 flips it
+    for 50% of video rows precisely to train video-only conditioning)."""
+    import numpy as np
+    from v2ap_tpu.data.dataset import Batch
+
+    pipe, tmp = tiny_training
+    video = str(tmp_path / "drop.mp4")
+    if not write_synthetic_video(video, frames=6, fps=4):
+        import pytest
+        pytest.skip("no video writer available")
+    sr = pipe.cfg.data.sample_rate
+    n_samp = pipe.cfg.data.target_length * pipe.cfg.data.hop_size
+    wav = np.random.default_rng(0).normal(
+        size=(2, n_samp)).astype(np.float32) * 0.1
+    batch = Batch(
+        waveforms=wav,
+        lens=np.full((2,), pipe.cfg.data.target_length, np.int32),
+        captions=["a piano", "a piano"],
+        video_paths=[video, video],
+        piano=[False, False],
+        video_drop_prompt=np.asarray([True, False]),
+        audio_drop_prompt=np.asarray([False, False]),
+    )
+    dev = pipe.device_batch(batch)
+    text = np.asarray(dev["text_embed"])
+    # BOTH rows carry CLIP features (nonzero), drop flag or not
+    assert np.abs(text[0]).sum() > 0
+    assert np.abs(text[1]).sum() > 0
+    np.testing.assert_allclose(text[0], text[1], atol=1e-5)
+    # ...but the drop row's T5 context is zeroed
+    ctx = np.asarray(dev["context"])
+    assert np.abs(ctx[0]).sum() == 0.0
+    assert np.abs(ctx[1]).sum() > 0

@@ -159,32 +159,86 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(model2.proj_in.kernel[...]), 7.0)
 
 
-def test_grad_accumulation_matches_full_batch():
-    """accum=2 over a batch must match the full-batch gradient step (same
-    total examples, deterministic val-mode loss)."""
+def test_grad_accumulation_matches_manual_average():
+    """The accum=2 step must equal explicitly averaging the two micro-batch
+    gradients (same folded keys) and applying one optimizer update."""
+    import dataclasses
+    import optax
+    from v2ap_tpu.training.trainer import make_train_step, make_tx
+
     cfg, model1 = build_model()
     _, model2 = build_model()
-    # identical init
-    nnx.update(model2, nnx.state(model1))
+    nnx.update(model2, nnx.state(model1))       # identical init
 
-    from v2ap_tpu.training.trainer import make_train_step
-    import dataclasses
     base = TrainConfig(learning_rate=1e-3, warmup_steps=1, decay_steps=100)
-    step1 = make_train_step(base)
     step2 = make_train_step(dataclasses.replace(base, grad_accum=2))
-    import optax
-    from v2ap_tpu.training.trainer import make_tx
     opt1 = nnx.Optimizer(model1, make_tx(base), wrt=nnx.Param)
     opt2 = nnx.Optimizer(model2, make_tx(base), wrt=nnx.Param)
 
     batch = make_batch(cfg, b=4)
-    l1, _ = step1(model1, opt1, jax.random.key(0), batch)
-    l2, _ = step2(model2, opt2, jax.random.key(0), batch)
-    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
-    # different rng folding -> values differ, but both update finitely
+    rng = jax.random.key(0)
+    l2, bk2 = step2(model2, opt2, None, None, None, rng, batch)
+
+    # manual reference: per-micro-batch grads with the same folded keys
+    def loss_fn(m, sub, mb):
+        out = m.loss(mb["latents"], lens=mb["lens"],
+                     text_embed=mb["text_embed"], context=mb["context"],
+                     context_mask=mb["context_mask"], rng=sub)
+        return out.loss, out.breakdown
+
+    g_avg = None
+    losses = []
+    for i in range(2):
+        mb = jax.tree.map(
+            lambda x: x.reshape((2, -1) + x.shape[1:])[i]
+            if hasattr(x, "ndim") and x.ndim > 0 else x, batch)
+        # the train step splits each micro-batch key into (loss, contrastive)
+        sub = jax.random.split(jax.random.fold_in(rng, i))[0]
+        (li, _), gi = nnx.value_and_grad(loss_fn, has_aux=True)(
+            model1, sub, mb)
+        losses.append(li)
+        g_avg = gi if g_avg is None else jax.tree.map(
+            lambda a, b: a + b, g_avg, gi)
+    g_avg = jax.tree.map(lambda g: g / 2.0, g_avg)
+    opt1.update(model1, g_avg)
+
+    np.testing.assert_allclose(float(l2), float(np.mean(losses)), rtol=1e-5)
     p1 = np.asarray(model1.proj_in.kernel[...])
     p2 = np.asarray(model2.proj_in.kernel[...])
-    assert np.isfinite(p1).all() and np.isfinite(p2).all()
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
+    # metrics breakdown survives accumulation (mean over micro-batches)
+    assert np.isfinite(float(bk2.flow)) and float(bk2.flow) > 0
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    import dataclasses
+    from v2ap_tpu.training.trainer import make_train_step, make_tx
+    cfg, model = build_model()
+    base = TrainConfig()
+    step = make_train_step(dataclasses.replace(base, grad_accum=2))
+    opt = nnx.Optimizer(model, make_tx(base), wrt=nnx.Param)
+    import pytest
+    with pytest.raises(ValueError, match="not divisible"):
+        step(model, opt, None, None, None, jax.random.key(0),
+             make_batch(cfg, b=3))
+
+
+def test_trainer_dpo_contrastive_wired():
+    """TrainConfig.dpo / .contrastive drive the real Trainer path end to end:
+    combined loss finite and decreasing over steps (VERDICT round-1 item 3)."""
+    cfg, model = build_model()
+    trainer = Trainer(model, TrainConfig(
+        learning_rate=1e-3, warmup_steps=1, decay_steps=1000,
+        dpo=True, contrastive=True))
+    assert trainer.ema is not None          # DPO implies the EMA reference
+    assert trainer.fcl is not None
+    batch = make_batch(cfg, b=8)            # rows [-2]/[-1] = winner/loser
+    losses = []
+    for i in range(6):
+        loss, bk = trainer.train_step(jax.random.key(7), batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
 
 
 def test_contrastive_train_step_variant6():

@@ -154,6 +154,7 @@ class TrainConfig:
     # FactorCL contrastive alignment (reference: e2_tts_crossatt6.py:884,1027-1061)
     contrastive: bool = False
     contrastive_weight: float = 1.0
+    contrastive_layer: int = 1                 # hidden-layer tap (reference: layer 1)
 
 
 @dataclass(frozen=True)
@@ -211,6 +212,17 @@ def v2p_88key() -> V2APConfig:
     """88-key full-keyboard variant (reference: e2_tts_crossatt3_2.py:74-76)."""
     cfg = V2APConfig()
     return cfg.replace(model=dataclasses.replace(cfg.model, notes=88, note_min=0, note_max=87))
+
+
+def dryrun_test() -> V2APConfig:
+    """Minimum-compile-surface config for the cold multichip dry-run: real
+    tri-stream structure + Video2Roll + DP×TP shardings, but the smallest
+    layer count that still exercises the U-Net skip logic (depth 2 = one
+    down/up pair). The dry-run compiles cold on a foreign host (no persistent
+    cache — see __graft_entry__), so XLA compile time is the budget."""
+    cfg = tiny_test()
+    return cfg.replace(
+        model=dataclasses.replace(cfg.model, depth=2, text_depth=2))
 
 
 def tiny_test() -> V2APConfig:

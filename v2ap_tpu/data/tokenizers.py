@@ -58,51 +58,95 @@ def phoneme_en_tokenizer() -> Tuple[Callable[[List[str]], np.ndarray], int]:
     return encode, len(phoneme_to_index)
 
 
+ZH_PUNCS = ["，", "。", "？", "、"]
+ZH_LETTERS = list("abcdefghijklmnopqrstuvwxyz") + ["'", " "]
+ZH_UPPERS = list("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+ZH_NUM_PHONEMES = 1342
+
+
+def zh_phoneme_table() -> dict:
+    """The reference's vendored 1342-symbol scheme
+    (e2_tts_crossatt3.py:230-257): 4 CJK punctuation marks, 1310 toned pinyin
+    syllables (shipped in ``zh_pinyin_table.json``), 28 ascii symbols.
+    Uppercase letters deliberately share ids with lowercase — the reference
+    assigns both from the same offset, and published checkpoints were trained
+    with that mapping."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "zh_pinyin_table.json")
+    with open(path) as f:
+        pinyins = json.load(f)
+    table: dict = {}
+    for i, p in enumerate(ZH_PUNCS):
+        table[p] = i
+    base = len(ZH_PUNCS)
+    for i, p in enumerate(pinyins):
+        table[p] = base + i
+    base += len(pinyins)
+    for i, ch in enumerate(ZH_LETTERS):
+        table[ch] = base + i
+    for i, ch in enumerate(ZH_UPPERS):
+        table[ch] = base + i               # case-insensitive (see docstring)
+    assert base + len(ZH_LETTERS) == ZH_NUM_PHONEMES
+    return table
+
+
+def zh_tokens_to_ids(tokens: List[str], table: dict) -> List[int]:
+    """Pre-segmented symbols (pinyin syllables / letters / puncs) -> ids.
+    Works with no optional packages — the decode-time path."""
+    out = []
+    for tok in tokens:
+        if tok in table:
+            out.append(table[tok])
+        elif all(c in table for c in tok):     # ascii word -> per character
+            out.extend(table[c] for c in tok)
+        else:
+            raise KeyError(f"symbol {tok!r} not in the zh phoneme table")
+    return out
+
+
 def phoneme_zh_tokenizer() -> Tuple[Callable[[List[str]], np.ndarray], int]:
-    """Chinese pinyin phoneme tokenizer (requires jieba + pypinyin)."""
+    """Chinese pinyin phoneme tokenizer over the vendored 1342-symbol table.
+
+    Raw Chinese text additionally needs jieba + pypinyin for segmentation
+    (exactly the reference pipeline, :258-286); input that is already pinyin
+    syllables / ascii works without them via ``zh_tokens_to_ids``.
+    """
+    table = zh_phoneme_table()
     try:
-        import jieba  # noqa: F401
-        from pypinyin import Style, lazy_pinyin  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise ImportError(
-            "phoneme_zh tokenizer requires jieba and pypinyin; install them "
-            "or use tokenizer='char_utf8'") from exc
+        import jieba
+        from pypinyin import Style, lazy_pinyin
+        have_zh = True
+    except ImportError:  # pragma: no cover - env-dependent
+        have_zh = False
 
-    import jieba
-    from pypinyin import Style, lazy_pinyin
-
-    puncs = ["，", "。", "？", "、"]
-    letters = list("abcdefghijklmnopqrstuvwxyz") + ["'", " "]
-    uppers = list("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
-    vocab: dict = {}
-    for p in puncs:
-        vocab.setdefault(p, len(vocab))
-    # pinyin space is enumerated lazily: unseen syllables get new ids up to cap
-    base = len(vocab)
-    for i, ch in enumerate(letters + uppers):
-        vocab[ch] = base + 1300 + i
+    def tokenize(t: str) -> List[int]:
+        if not have_zh:
+            return zh_tokens_to_ids(t.split(" ") if any(
+                len(tok) > 1 for tok in t.split(" ")) else list(t), table)
+        row: List[int] = []
+        for word in jieba.cut(t):
+            if all("一" <= c <= "鿿" for c in word):
+                for syl in lazy_pinyin(word, style=Style.TONE3,
+                                       tone_sandhi=True):
+                    if syl in table:
+                        row.append(table[syl])
+            else:
+                for ch in word:
+                    if ch in table:
+                        row.append(table[ch])
+        return row
 
     def encode(texts: List[str]) -> np.ndarray:
-        rows = []
-        for t in texts:
-            row = []
-            for word in jieba.cut(t):
-                if all("一" <= c <= "鿿" for c in word):
-                    for syl in lazy_pinyin(word, style=Style.TONE3,
-                                           tone_sandhi=True):
-                        row.append(vocab.setdefault(syl, len(vocab)))
-                else:
-                    for ch in word:
-                        if ch in vocab:
-                            row.append(vocab[ch])
-            rows.append(row)
+        rows = [tokenize(t) for t in texts]
         n = max((len(r) for r in rows), default=1)
         out = np.full((len(rows), n), PAD_ID, np.int32)
         for i, r in enumerate(rows):
             out[i, : len(r)] = r
         return out
 
-    return encode, 1342
+    return encode, ZH_NUM_PHONEMES
 
 
 def get_tokenizer(name: str):

@@ -52,14 +52,22 @@ def fad_from_embeddings(ref: np.ndarray, gen: np.ndarray) -> float:
     return frechet_distance(mu1, s1, mu2, s2)
 
 
+def default_embedder() -> Callable:
+    """Registers-and-returns the built-in PANN Cnn14 embedder (JAX; weights
+    from ``$V2AP_PANN_WEIGHTS`` when set, deterministic seed-0 init
+    otherwise — convert the published Cnn14 checkpoint for absolute FAD)."""
+    global _EMBEDDER
+    if _EMBEDDER is None:
+        from v2ap_tpu.evaluation.pann import make_embedder
+        _EMBEDDER = make_embedder()
+    return _EMBEDDER
+
+
 def fad(reference_wavs: Sequence[np.ndarray], generated_wavs: Sequence[np.ndarray],
         sr: int = 24_000, embedder: Optional[Callable] = None) -> float:
-    """Frechet Audio Distance between two waveform collections.
-    Requires a registered embedder (``set_embedder``) or an explicit one."""
-    fn = embedder or _EMBEDDER
-    if fn is None:
-        raise RuntimeError("no audio embedder registered; call set_embedder "
-                           "with a VGGish/PANN/CLAP embedding callable")
+    """Frechet Audio Distance between two waveform collections, using the
+    built-in PANN Cnn14 embedder unless one is registered/passed."""
+    fn = embedder or _EMBEDDER or default_embedder()
     ref = np.concatenate([np.atleast_2d(fn(w, sr)) for w in reference_wavs])
     gen = np.concatenate([np.atleast_2d(fn(w, sr)) for w in generated_wavs])
     return fad_from_embeddings(ref, gen)

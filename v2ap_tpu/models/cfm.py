@@ -52,6 +52,11 @@ class CFMOutput(NamedTuple):
     pred_flow: jnp.ndarray
     pred_data: jnp.ndarray
     breakdown: LossBreakdown
+    # per-sample masked flow loss (b,): the DPO winner/loser scores
+    # (reference e2_tts_crossatt3.py:2549-2558 `(loss.mean(-1)*span).mean(-1)`)
+    per_sample_flow: Optional[jnp.ndarray] = None
+    # (audio_hidden, text_hidden) at ``collect_hidden_layer`` for FactorCL
+    hiddens: Optional[tuple] = None
 
 
 class CFM(nnx.Module):
@@ -334,6 +339,7 @@ class CFM(nnx.Module):
         midi_loss_weight: float = 10.0,
         train_video_encoder: bool = True,
         use_midi_gt: bool = False,
+        collect_hidden_layer: Optional[int] = None,
     ) -> CFMOutput:
         """Flow-matching training objective (reference forward, :2307-2588)."""
         cfg = self.cfg
@@ -422,16 +428,24 @@ class CFM(nnx.Module):
         pred = self.pred_head(
             w, cond, times=t, mask=mask, text_embed=text_in,
             frames_embed=frames_embed, context=ctx_in,
-            context_mask=context_mask, deterministic=val)
+            context_mask=context_mask, deterministic=val,
+            collect_hidden_layer=collect_hidden_layer)
+        hiddens = None
+        if collect_hidden_layer is not None:
+            pred, hiddens = pred
 
         per = (pred - flow) ** 2
         span = rand_span_mask[..., None]
         loss_flow = jnp.where(span, per, 0.0).sum() / jnp.maximum(
             rand_span_mask.sum() * c, 1)
+        # per-sample score for preference pairs: span-masked feature-mean MSE
+        # averaged over the full length (reference :2549-2558)
+        per_sample = (per.mean(-1) * rand_span_mask).mean(-1)
 
         total = loss_flow + loss_midi * midi_loss_weight
         breakdown = LossBreakdown(loss_flow, loss_midi, pre, rec, f1, acc)
-        return CFMOutput(total, pred, x0 + pred, breakdown)
+        return CFMOutput(total, pred, x0 + pred, breakdown,
+                         per_sample_flow=per_sample, hiddens=hiddens)
 
 
 def _roll_metrics(probs: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray):

@@ -167,18 +167,20 @@ CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
-def preprocess_frames(frames, image_size: int = 224):
-    """uint8 RGB frames (t, H, W, 3) -> float32 (t, S, S, 3), CLIP-normalised.
+def preprocess_frames(frames, image_size: int = 224, mean=None, std=None):
+    """uint8 RGB frames (t, H, W, 3) -> float32 (t, S, S, 3), normalised.
 
     Matches CLIPImageProcessor defaults: resize shortest edge (bicubic),
     center crop, rescale 1/255, normalize. Host-side (numpy + PIL).
+    ``mean``/``std`` default to the CLIP constants; DINOv2 towers pass the
+    ImageNet ones.
     """
     import numpy as np
     from PIL import Image
 
     out = np.empty((len(frames), image_size, image_size, 3), np.float32)
-    mean = np.asarray(CLIP_MEAN, np.float32)
-    std = np.asarray(CLIP_STD, np.float32)
+    mean = np.asarray(mean if mean is not None else CLIP_MEAN, np.float32)
+    std = np.asarray(std if std is not None else CLIP_STD, np.float32)
     for i, frame in enumerate(frames):
         img = Image.fromarray(frame)
         w, h = img.size

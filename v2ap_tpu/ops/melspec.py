@@ -23,17 +23,37 @@ def mel_to_hz(m):
     return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
 
 
+def hz_to_mel_slaney(f):
+    """librosa's default (htk=False) scale: linear below 1 kHz, log above."""
+    f = np.asarray(f, np.float64)
+    mel = f / (200.0 / 3.0)
+    log_step = np.log(6.4) / 27.0
+    return np.where(f >= 1000.0, 15.0 + np.log(np.maximum(f, 1e-9) / 1000.0)
+                    / log_step, mel)
+
+
+def mel_to_hz_slaney(m):
+    m = np.asarray(m, np.float64)
+    log_step = np.log(6.4) / 27.0
+    return np.where(m >= 15.0, 1000.0 * np.exp(log_step * (m - 15.0)),
+                    m * (200.0 / 3.0))
+
+
 @functools.lru_cache(maxsize=8)
 def mel_filterbank(sr: int = 24_000, n_fft: int = 1024, n_mels: int = 100,
                    fmin: float = 0.0, fmax: float | None = None,
-                   slaney_norm: bool = False) -> np.ndarray:
+                   slaney_norm: bool = False,
+                   slaney_scale: bool = False) -> np.ndarray:
     """Triangular mel filterbank (n_mels, n_fft//2+1). ``slaney_norm`` applies
     librosa's area normalisation (the TacotronSTFT/AudioLDM convention,
     reference src/audioldm/audio/stft.py:136); without it, torchaudio's
-    ``norm=None`` default."""
+    ``norm=None`` default. ``slaney_scale`` switches the HTK mel formula to
+    librosa's default Slaney scale (PANN/torchlibrosa convention)."""
     fmax = fmax or sr / 2.0
-    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
-    hz_pts = mel_to_hz(mel_pts)
+    to_mel = hz_to_mel_slaney if slaney_scale else hz_to_mel
+    to_hz = mel_to_hz_slaney if slaney_scale else mel_to_hz
+    mel_pts = np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+    hz_pts = to_hz(mel_pts)
     bins = np.fft.rfftfreq(n_fft, 1.0 / sr)
     fb = np.zeros((n_mels, len(bins)), np.float32)
     for i in range(n_mels):

@@ -75,14 +75,15 @@ class V2APipeline:
 
     def __init__(self, cfg: V2APConfig | None = None, *, seed: int = 0,
                  tokenizer_path: Optional[str] = None,
-                 t5_config=None, clip_config=None, encodec_config=None):
+                 t5_config=None, clip_config=None, encodec_config=None,
+                 tower_configs: Optional[dict] = None):
         import jax
         import jax.numpy as jnp
         from flax import nnx
         from v2ap_tpu.models.cfm import CFM
         from v2ap_tpu.models.encodec import EncodecModel
         from v2ap_tpu.models.t5 import T5Encoder, flan_t5_large
-        from v2ap_tpu.models.clip_vit import CLIPVisionModel, clip_vit_bigg
+        from v2ap_tpu.models.video_towers import build_video_towers
         from v2ap_tpu.utils.jitting import create_model
 
         self.cfg = cfg or V2APConfig()
@@ -91,7 +92,9 @@ class V2APipeline:
         self._jax = jax
 
         self.t5_cfg = t5_config or flan_t5_large()
-        self.clip_cfg = clip_config or clip_vit_bigg()
+        tower_configs = dict(tower_configs or {})
+        if clip_config is not None:                # back-compat shorthand
+            tower_configs.setdefault("clip_vit", clip_config)
         if encodec_config is None:
             from v2ap_tpu.models.encodec import EncodecConfig
             encodec_config = EncodecConfig()
@@ -110,13 +113,19 @@ class V2APipeline:
                                                        rngs=nnx.Rngs(seed + 1)))
         self.t5 = create_model(lambda: T5Encoder(self.t5_cfg,
                                                  rngs=nnx.Rngs(seed + 2)))
-        self.clip = create_model(lambda: CLIPVisionModel(
-            self.clip_cfg, rngs=nnx.Rngs(seed + 3)))
+        self.towers = build_video_towers(
+            self.cfg.conditioning.video_encoder, seed=seed + 3,
+            overrides=tower_configs)
+        self.video_embed_dim = sum(t.embed_dim for t in self.towers)
+        # back-compat aliases (single-tower configs)
+        self.clip = self.towers[0].model
+        self.clip_cfg = self.towers[0].model.cfg
         # frozen encoders live in bf16 on device (memory: bigG ~7 GB in f32)
         if jnp.dtype(self.cfg.model.dtype) == jnp.bfloat16:
             from v2ap_tpu.utils.jitting import cast_params
             cast_params(self.t5, jnp.bfloat16)
-            cast_params(self.clip, jnp.bfloat16)
+            for tower in self.towers:
+                cast_params(tower.model, jnp.bfloat16)
 
         self.tokenize = load_t5_tokenizer(tokenizer_path, self.t5_cfg.vocab_size)
 
@@ -150,11 +159,15 @@ class V2APipeline:
         of components loaded."""
         import os
         from v2ap_tpu.utils.checkpoint import load_model
+        pairs = [("cfm", self.cfm), ("encodec", self.codec),
+                 ("t5", self.t5), ("clip", self.clip)]
+        pairs += [(t.name, t.model) for t in self.towers]
         loaded = []
-        for name, model in (("cfm", self.cfm), ("encodec", self.codec),
-                            ("t5", self.t5), ("clip", self.clip)):
+        seen = set()
+        for name, model in pairs:
             path = os.path.join(ckpt_dir, name)
-            if os.path.isdir(path):
+            if os.path.isdir(path) and path not in seen:
+                seen.add(path)
                 load_model(path, model)
                 loaded.append(name)
         if not loaded and os.path.isdir(ckpt_dir):
@@ -169,34 +182,59 @@ class V2APipeline:
                            self._jnp.asarray(mask))
         return ctx, self._jnp.asarray(mask, bool)
 
+    def _encode_tower(self, tower, video_path: str, chunk: int,
+                      frames_cache: list):
+        """One tower's per-frame embeddings with its own on-disk npz cache
+        (the reference keeps per-encoder feature dirs, :1747-1783)."""
+        from v2ap_tpu.data import video_io
+
+        cache = video_io.clip_feature_cache_path(video_path, tower.name)
+        if self.cfg.conditioning.feature_cache:
+            feats, duration = video_io.load_feature_cache(cache)
+            if feats is not None:
+                return feats, duration
+        if not frames_cache:
+            frames_cache.append(video_io.read_video_frames(video_path))
+        frames, duration = frames_cache[0]
+        if frames is None:
+            return None, None
+        px = tower.preprocess(frames)
+        embeds = []
+        for i in range(0, len(px), chunk):
+            part = px[i: i + chunk]
+            pad = chunk - len(part)
+            if pad:
+                part = np.concatenate(
+                    [part, np.zeros((pad,) + part.shape[1:], part.dtype)])
+            out = np.asarray(self._clip_fwd(tower.model,
+                                            self._jnp.asarray(part)))
+            embeds.append(out[: chunk - pad])
+        feats = np.concatenate(embeds)
+        if self.cfg.conditioning.feature_cache:
+            video_io.save_feature_cache(cache, feats, duration)
+        return feats, duration
+
     def encode_video_frames_clip(self, video_path: str, length: int,
                                  chunk: int = 32):
-        """Per-frame CLIP embeddings interpolated to the latent rate, with the
-        reference's on-disk npz cache (e2_tts_crossatt3.py:1679-1813)."""
+        """Per-frame embeddings from the configured video tower(s),
+        interpolated to the latent rate, with the reference's on-disk npz
+        cache (e2_tts_crossatt3.py:1679-1813). In "mixed" mode the four
+        towers' embeddings concatenate per frame (1280+768+1024+1536=4608,
+        reference :1786-1789)."""
         from v2ap_tpu.data import video_io
-        from v2ap_tpu.models.clip_vit import preprocess_frames
 
-        cache = video_io.clip_feature_cache_path(video_path)
-        feats, duration = (video_io.load_feature_cache(cache)
-                           if self.cfg.conditioning.feature_cache else (None, None))
-        if feats is None:
-            frames, duration = video_io.read_video_frames(video_path)
-            if frames is None:
+        frames_cache: list = []
+        per_tower = []
+        duration = None
+        for tower in self.towers:
+            feats, duration = self._encode_tower(tower, video_path, chunk,
+                                                 frames_cache)
+            if feats is None:
                 return None, None
-            px = preprocess_frames(frames, self.clip_cfg.image_size)
-            embeds = []
-            for i in range(0, len(px), chunk):
-                part = px[i: i + chunk]
-                pad = chunk - len(part)
-                if pad:
-                    part = np.concatenate(
-                        [part, np.zeros((pad,) + part.shape[1:], part.dtype)])
-                out = np.asarray(self._clip_fwd(self.clip,
-                                                self._jnp.asarray(part)))
-                embeds.append(out[: chunk - pad])
-            feats = np.concatenate(embeds)
-            if self.cfg.conditioning.feature_cache:
-                video_io.save_feature_cache(cache, feats, duration)
+            per_tower.append(feats)
+        t = min(len(f) for f in per_tower)
+        feats = (per_tower[0][:t] if len(per_tower) == 1 else
+                 np.concatenate([f[:t] for f in per_tower], axis=-1))
         idx = video_io.interp_indices_clip(
             len(feats), duration, length,
             sample_rate=self.cfg.conditioning.sampling_rate,
@@ -275,12 +313,14 @@ class V2APipeline:
         n = min(bucket_length(n_valid), max_n)
 
         b = 1
+        # mixed mode: raw concat width; CFM.proj_text projects to dim_text
+        tdim = self.cfg.model.dim_text_raw or self.cfg.model.dim_text
         if text_embed_np is not None:
-            text = np.zeros((b, n, self.cfg.model.dim_text), np.float32)
+            text = np.zeros((b, n, tdim), np.float32)
             text[0, : min(n, len(text_embed_np))] = text_embed_np[:n]
             text = jnp.asarray(text)
         else:
-            text = jnp.zeros((b, n, self.cfg.model.dim_text), jnp.float32)
+            text = jnp.zeros((b, n, tdim), jnp.float32)
 
         drop_prompt = prompt.strip() == ""
         eff_prompt = "the sound of X X" if drop_prompt else prompt
@@ -340,7 +380,8 @@ class V2APipeline:
         n_valid = min(n_valid, max_n)
         n = min(bucket_length(n_valid), max_n)
 
-        text = np.zeros((b, n, self.cfg.model.dim_text), np.float32)
+        tdim = self.cfg.model.dim_text_raw or self.cfg.model.dim_text
+        text = np.zeros((b, n, tdim), np.float32)
         frames_roll = np.zeros((b, n, self.cfg.model.notes), np.float32)
         for i, vp in enumerate(video_paths):
             if vp is None:

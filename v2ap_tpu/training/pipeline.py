@@ -59,14 +59,19 @@ class TrainingPipeline:
         latents = self.pipe._encode_audio(self.pipe.codec, wav)
         b, n, _ = latents.shape
 
-        text = np.zeros((b, n, mc.dim_text), np.float32)
+        text = np.zeros((b, n, mc.dim_text_raw or mc.dim_text), np.float32)
         frames = None
         midis = np.zeros((b, n, mc.notes), np.float32)
         for i, vp in enumerate(batch.video_paths):
             if vp is None:
                 continue
             feats, _ = self.pipe.encode_video_frames_clip(vp, n)
-            if feats is not None and not batch.video_drop_prompt[i]:
+            # video_drop_prompt only swaps the T5 prompt to "the sound of X X"
+            # and zeroes the prompt context below; the CLIP video stream stays
+            # active (reference trainer_multigpus_alldatas3.py:385-390 flips it
+            # for 50% of video rows precisely to train video-only conditioning;
+            # e2_tts_crossatt3.py:2052-2062 touches only prompt/context).
+            if feats is not None:
                 text[i, : len(feats)] = feats[:n]
             if batch.piano[i]:
                 strips = self.pipe.encode_piano_frames(vp, n)

@@ -75,32 +75,92 @@ def make_train_step(train_cfg: TrainConfig):
     Shard batch arrays on the mesh's data axis before calling; XLA inserts the
     gradient AllReduce.
 
+    ``TrainConfig.dpo`` / ``TrainConfig.contrastive`` fold the preference and
+    FactorCL objectives into this same step (the reference produced its
+    released checkpoints with these paths enabled; e2_tts_crossatt3.py:2504-
+    2566, e2_tts_crossatt6.py:1027-1061):
+      * DPO: batch rows [-2]/[-1] are the winner/loser of a preference pair;
+        ``ref_model`` (the EMA shadow) scores them at the *same* (t, x0, span,
+        condition-drop) draws via the shared PRNG key.
+      * contrastive: layer-1 (audio, CLIP-stream) hiddens of rows 2..8 feed
+        the FactorCL CLUB critic; the critic trains jointly via its InfoNCE
+        learning loss.
+
     With ``grad_accum > 1`` the batch splits into micro-batches along axis 0
-    and gradients average inside one jitted ``lax.scan`` (the reference used
+    and gradients average inside one jit (the reference used
     ``accelerator.accumulate``, trainer...3.py:379)."""
     accum = max(1, train_cfg.grad_accum)
+    use_dpo = train_cfg.dpo
+    use_con = train_cfg.contrastive
+    if (use_dpo or use_con) and accum > 1:
+        raise ValueError("dpo/contrastive require grad_accum=1: preference "
+                         "pairs and contrastive rows index the full batch")
 
-    def _loss(m: CFM, rng, batch, has_frames):
-        out: CFMOutput = m.loss(
+    def _cfm_loss(m: CFM, rng, batch, has_frames, collect):
+        return m.loss(
             batch["latents"], lens=batch["lens"],
             text_embed=batch["text_embed"], context=batch.get("context"),
             context_mask=batch.get("context_mask"), rng=rng,
             frames=batch.get("frames") if has_frames else None,
             midis=batch.get("midis") if has_frames else None,
-            midi_loss_weight=train_cfg.midi_loss_weight)
-        return out.loss, out.breakdown
+            midi_loss_weight=train_cfg.midi_loss_weight,
+            collect_hidden_layer=train_cfg.contrastive_layer
+            if collect else None)
+
+    def _loss(m: CFM, fcl, rng, batch, has_frames, ref_per_sample):
+        k_loss, k_ts = jax.random.split(rng)
+        out: CFMOutput = _cfm_loss(m, k_loss, batch, has_frames, use_con)
+        total = out.loss
+        breakdown = out.breakdown
+        if use_con and batch["latents"].shape[0] >= 8:
+            from v2ap_tpu.training.contrastive import (
+                sample_contrastive_features)
+            fa, fb, labels = sample_contrastive_features(
+                out.hiddens[0], out.hiddens[1], m.cfg.num_registers, k_ts)
+            loss_con = (fcl(fa, fb, labels)
+                        + fcl.learning_loss(fa, fb, labels))
+            total = total + train_cfg.contrastive_weight * loss_con
+        if use_dpo:
+            from v2ap_tpu.training.dpo import dpo_pair_loss
+            per = out.per_sample_flow
+            loss_dpo = dpo_pair_loss(per[-2], per[-1], ref_per_sample[-2],
+                                     ref_per_sample[-1],
+                                     scale=-train_cfg.dpo_beta)
+            total = total + loss_dpo
+        return total, breakdown
 
     @partial(nnx.jit, static_argnames=("has_frames",))
-    def train_step(model: CFM, optimizer: nnx.Optimizer, rng: jax.Array,
-                   batch: dict, has_frames: bool = False):
+    def train_step(model: CFM, optimizer: nnx.Optimizer, fcl, fcl_opt,
+                   ref_model, rng: jax.Array, batch: dict,
+                   has_frames: bool = False):
+        ref_per_sample = None
+        if use_dpo:
+            # EMA-reference forward at the same draws (shared k_loss)
+            k_loss, _ = jax.random.split(rng)
+            ref_out = _cfm_loss(ref_model, k_loss, batch, has_frames, False)
+            ref_per_sample = jax.lax.stop_gradient(ref_out.per_sample_flow)
+
         if accum == 1:
-            (loss, breakdown), grads = nnx.value_and_grad(
-                _loss, has_aux=True)(model, rng, batch, has_frames)
-            optimizer.update(model, grads)
+            if use_con:
+                (loss, breakdown), grads = nnx.value_and_grad(
+                    _loss, has_aux=True, argnums=(0, 1))(
+                        model, fcl, rng, batch, has_frames, ref_per_sample)
+                optimizer.update(model, grads[0])
+                fcl_opt.update(fcl, grads[1])
+            else:
+                (loss, breakdown), grads = nnx.value_and_grad(
+                    _loss, has_aux=True)(
+                        model, fcl, rng, batch, has_frames, ref_per_sample)
+                optimizer.update(model, grads)
             return loss, breakdown
 
         # micro-batches unroll at trace time (accum is small; a lax.scan
         # would forbid the stateful dropout-RNG mutation inside its body)
+        b = batch["latents"].shape[0]
+        if b % accum != 0:
+            raise ValueError(
+                f"batch size {b} not divisible by grad_accum {accum}")
+
         def micro(i):
             return jax.tree.map(
                 lambda x: x.reshape((accum, -1) + x.shape[1:])[i]
@@ -108,22 +168,22 @@ def make_train_step(train_cfg: TrainConfig):
 
         g_sum = None
         loss_sum = jnp.asarray(0.0)
+        bk_sum = None
         for i in range(accum):
             sub = jax.random.fold_in(rng, i)
-            (loss, _), grads = nnx.value_and_grad(
-                _loss, has_aux=True)(model, sub, micro(i), has_frames)
+            (loss, bk), grads = nnx.value_and_grad(
+                _loss, has_aux=True)(model, fcl, sub, micro(i), has_frames,
+                                     None)
             loss_sum = loss_sum + loss
+            bk_sum = bk if bk_sum is None else jax.tree.map(
+                lambda a, c: a + c, bk_sum, bk)
             g_sum = grads if g_sum is None else jax.tree.map(
-                lambda a, b: a + b if hasattr(a, "dtype") else a, g_sum, grads)
+                lambda a, c: a + c if hasattr(a, "dtype") else a, g_sum, grads)
         grads = jax.tree.map(
             lambda g: g / accum if hasattr(g, "dtype") else g, g_sum)
         optimizer.update(model, grads)
-        # breakdown of the last micro-batch is not tracked under scan; report
-        # the mean loss with empty metrics
-        from v2ap_tpu.models.cfm import LossBreakdown
-        zero = jnp.asarray(0.0)
-        return loss_sum / accum, LossBreakdown(loss_sum / accum, zero, zero,
-                                               zero, zero, zero)
+        breakdown = jax.tree.map(lambda a: a / accum, bk_sum)
+        return loss_sum / accum, breakdown
 
     return train_step
 
@@ -158,14 +218,29 @@ class Trainer:
         self.model = model
         self.optimizer = nnx.Optimizer(model, make_tx(self.cfg), wrt=nnx.Param)
         use_ema = self.cfg.use_ema if use_ema is None else use_ema
+        # DPO scores pairs against the EMA reference model, so preference
+        # optimization implies EMA (reference velocity_consistency_model is
+        # the EMA model; SURVEY §5.9)
+        if self.cfg.dpo:
+            use_ema = True
         self.ema = EMA(model, self.cfg.ema_decay) if use_ema else None
+        self.fcl = None
+        self.fcl_opt = None
+        if self.cfg.contrastive:
+            from v2ap_tpu.training.contrastive import FactorCL
+            self.fcl = FactorCL(model.cfg.dim, model.cfg.dim_text,
+                                rngs=nnx.Rngs(0))
+            self.fcl_opt = nnx.Optimizer(
+                self.fcl, optax.adamw(self.cfg.learning_rate), wrt=nnx.Param)
         self.step = 0
         self._train_step = make_train_step(self.cfg)
         self._eval_step = make_eval_step(self.cfg)
 
     def train_step(self, rng: jax.Array, batch: dict) -> tuple:
         has_frames = "frames" in batch and batch["frames"] is not None
-        loss, breakdown = self._train_step(self.model, self.optimizer, rng,
+        ref = self.ema.shadow if (self.cfg.dpo and self.ema) else None
+        loss, breakdown = self._train_step(self.model, self.optimizer,
+                                           self.fcl, self.fcl_opt, ref, rng,
                                            batch, has_frames=has_frames)
         if self.ema is not None:
             self.ema.update(self.model)

@@ -10,7 +10,9 @@ processes (second runs compile in milliseconds).
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 from typing import Callable, TypeVar
 
 import jax
@@ -22,9 +24,37 @@ _DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
 
 
+def machine_fingerprint() -> str:
+    """Short stable id for this host's CPU capabilities.
+
+    XLA:CPU persistent-cache entries are AOT executables specialised to the
+    compiling machine's feature set; loading them on a different host can
+    SIGILL/hang (observed as the round-1 multichip-dryrun rc=124: the driver
+    host loaded entries compiled elsewhere). Keying the cache dir by a CPU
+    fingerprint makes a foreign host start cold instead of loading poison.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                flags = ""
+    except OSError:
+        flags = ""
+    h = hashlib.sha256((platform.machine() + flags).encode()).hexdigest()[:12]
+    return h
+
+
 def enable_compile_cache(path: str | None = None) -> None:
-    jax.config.update("jax_compilation_cache_dir", path or _DEFAULT_CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    """Persistent on-disk compile cache, keyed per machine (see
+    ``machine_fingerprint``). Only worthwhile entries are cached (tiny
+    dispatch-level programs recompile in ms and would bloat the dir)."""
+    base = path or _DEFAULT_CACHE
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(base, machine_fingerprint()))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 

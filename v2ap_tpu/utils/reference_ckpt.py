@@ -123,6 +123,43 @@ def _set_adaln_zero(gate, sd: _SD, key: str):
     gate.to_gamma.bias[...] = jnp.asarray(sd.get(f"{key}.to_gamma.bias"))
 
 
+def _speech_index_map(if_audio_conv: bool, if_cross_attn: bool) -> Dict[str, int]:
+    """Position of each speech module in ``layers.{i}.0`` for a config
+    (reference ModuleList construction, e2_tts_crossatt3.py:822-872)."""
+    order = ["skip"]
+    if if_audio_conv:
+        order.append("conv")
+    order += ["attn_norm", "attn", "attn_gate"]
+    if if_cross_attn:
+        order += ["cross_norm", "cross", "cross_gate"]
+    order += ["ff_norm", "ff", "ff_gate"]
+    return {name: i for i, name in enumerate(order)}
+
+
+def _text_index_map(if_text_conv: bool) -> Dict[str, int]:
+    """Positions in ``layers.{i}.1`` (reference :893-906)."""
+    order = (["conv"] if if_text_conv else []) + [
+        "attn_norm", "attn", "ff_norm", "ff", "cross"]
+    return {name: i for i, name in enumerate(order)}
+
+
+def _set_cross_condition_two_stream(cc, sd: _SD, key: str, cfg) -> None:
+    """Embed a two-stream (crossatt/crossatt6) TextAudioCrossCondition —
+    ``text_to_audio``: (dim, dim+dim_text), ``audio_to_text`` — into the
+    tri-stream module by zeroing the frames columns/projection, which makes
+    the frames stream exactly inert (the two-stream forward packs only
+    (audio, text); reference e2_tts_crossatt.py:656-673)."""
+    w = sd.get(f"{key}.text_to_audio.weight")           # (dim, dim+dim_text)
+    full = np.zeros((cfg.dim, cfg.dim + cfg.dim_text + cfg.dim_frames),
+                    w.dtype)
+    full[:, : cfg.dim + cfg.dim_text] = w
+    cc.to_audio.kernel[...] = jnp.asarray(full.T)
+    if cc.cond_audio_to_others:
+        cc.to_text.kernel[...] = jnp.asarray(
+            sd.get(f"{key}.audio_to_text.weight").T)
+        cc.to_frames.kernel[...] = jnp.zeros_like(cc.to_frames.kernel[...])
+
+
 def load_cfm_from_reference_state_dict(sd_raw: Dict[str, np.ndarray], cfm,
                                        strict: bool = False) -> List[str]:
     """Populate a ``models.cfm.CFM`` from the reference checkpoint's
@@ -133,13 +170,25 @@ def load_cfm_from_reference_state_dict(sd_raw: Dict[str, np.ndarray], cfm,
     t = cfm.transformer
     cfg = cfm.cfg
 
+    # index maps follow the reference's conditional ModuleList construction
+    # (e2_tts_crossatt3.py:822-933): dropping if_audio_conv / if_cross_attn /
+    # if_text_conv removes entries and shifts every later index.
+    speech_idx = _speech_index_map(cfg.if_audio_conv, cfg.if_cross_attn)
+    text_idx = _text_index_map(cfg.if_text_conv)
+    # two-stream checkpoints (crossatt / crossatt6 variants) have no frames
+    # stream: cross-condition key is `text_to_audio` over (audio, text) only
+    two_stream = not sd.has(
+        "transformer.layers.0.1."
+        f"{text_idx['cross']}.text_frames_to_audio.weight")
+
     if sd.has("transformer.abs_pos_emb.weight") and t.abs_pos_emb is not None:
         t.abs_pos_emb.embedding[...] = jnp.asarray(
             sd.get("transformer.abs_pos_emb.weight"))
     t.registers[...] = jnp.asarray(sd.get("transformer.registers"))
     t.text_registers[...] = jnp.asarray(sd.get("transformer.text_registers"))
-    t.frames_registers[...] = jnp.asarray(
-        sd.get("transformer.frames_registers"))
+    if not two_stream:
+        t.frames_registers[...] = jnp.asarray(
+            sd.get("transformer.frames_registers"))
 
     t.time_mlp.fourier.weights[...] = jnp.asarray(
         sd.get("transformer.time_cond_mlp.0.weights"))
@@ -150,42 +199,53 @@ def load_cfm_from_reference_state_dict(sd_raw: Dict[str, np.ndarray], cfm,
         sp = f"transformer.layers.{i}.0"
         blk = t.audio_blocks[i]
         if i >= half:
-            _set_linear(blk.skip_proj, sd, f"{sp}.0", bias=False)
-        _set_dwconv(blk.conv, sd, f"{sp}.1")
-        _set_adanorm(blk.attn_norm, sd, f"{sp}.2")
-        _set_attention(blk.attn, sd, f"{sp}.3")
-        _set_adaln_zero(blk.attn_gate, sd, f"{sp}.4")
-        _set_adanorm(blk.cross_norm, sd, f"{sp}.5")
-        _set_attention(blk.cross_attn, sd, f"{sp}.6")
-        _set_adaln_zero(blk.cross_gate, sd, f"{sp}.7")
-        _set_adanorm(blk.ff_norm, sd, f"{sp}.8")
-        _set_ff(blk.ff, sd, f"{sp}.9")
-        _set_adaln_zero(blk.ff_gate, sd, f"{sp}.10")
+            _set_linear(blk.skip_proj, sd, f"{sp}.{speech_idx['skip']}",
+                        bias=False)
+        if "conv" in speech_idx and blk.conv is not None:
+            _set_dwconv(blk.conv, sd, f"{sp}.{speech_idx['conv']}")
+        _set_adanorm(blk.attn_norm, sd, f"{sp}.{speech_idx['attn_norm']}")
+        _set_attention(blk.attn, sd, f"{sp}.{speech_idx['attn']}")
+        _set_adaln_zero(blk.attn_gate, sd, f"{sp}.{speech_idx['attn_gate']}")
+        if "cross_norm" in speech_idx and blk.cross_attn is not None:
+            _set_adanorm(blk.cross_norm, sd,
+                         f"{sp}.{speech_idx['cross_norm']}")
+            _set_attention(blk.cross_attn, sd, f"{sp}.{speech_idx['cross']}")
+            _set_adaln_zero(blk.cross_gate, sd,
+                            f"{sp}.{speech_idx['cross_gate']}")
+        _set_adanorm(blk.ff_norm, sd, f"{sp}.{speech_idx['ff_norm']}")
+        _set_ff(blk.ff, sd, f"{sp}.{speech_idx['ff']}")
+        _set_adaln_zero(blk.ff_gate, sd, f"{sp}.{speech_idx['ff_gate']}")
 
         if i < cfg.text_depth:
             tp = f"transformer.layers.{i}.1"
             tb = t.text_blocks[i]
-            _set_dwconv(tb.conv, sd, f"{tp}.0")
-            _set_rmsnorm(tb.attn_norm, sd, f"{tp}.1")
-            _set_attention(tb.attn, sd, f"{tp}.2")
-            _set_rmsnorm(tb.ff_norm, sd, f"{tp}.3")
-            _set_ff(tb.ff, sd, f"{tp}.4")
+            if "conv" in text_idx and tb.conv is not None:
+                _set_dwconv(tb.conv, sd, f"{tp}.{text_idx['conv']}")
+            _set_rmsnorm(tb.attn_norm, sd, f"{tp}.{text_idx['attn_norm']}")
+            _set_attention(tb.attn, sd, f"{tp}.{text_idx['attn']}")
+            _set_rmsnorm(tb.ff_norm, sd, f"{tp}.{text_idx['ff_norm']}")
+            _set_ff(tb.ff, sd, f"{tp}.{text_idx['ff']}")
             cc = t.cross_conditions[i]
-            _set_linear(cc.to_audio, sd, f"{tp}.5.text_frames_to_audio",
-                        bias=False)
-            if cc.cond_audio_to_others:
-                _set_linear(cc.to_text, sd, f"{tp}.5.audio_to_text",
+            ccp = f"{tp}.{text_idx['cross']}"
+            if two_stream:
+                _set_cross_condition_two_stream(cc, sd, ccp, cfg)
+            else:
+                _set_linear(cc.to_audio, sd, f"{ccp}.text_frames_to_audio",
                             bias=False)
-                _set_linear(cc.to_frames, sd, f"{tp}.5.audio_to_frames",
-                            bias=False)
+                if cc.cond_audio_to_others:
+                    _set_linear(cc.to_text, sd, f"{ccp}.audio_to_text",
+                                bias=False)
+                    _set_linear(cc.to_frames, sd, f"{ccp}.audio_to_frames",
+                                bias=False)
 
         fp = f"transformer.layers.{i}.2"
-        fb = t.frames_blocks[i]
-        _set_dwconv(fb.conv, sd, f"{fp}.0")
-        _set_rmsnorm(fb.attn_norm, sd, f"{fp}.1")
-        _set_attention(fb.attn, sd, f"{fp}.2")
-        _set_rmsnorm(fb.ff_norm, sd, f"{fp}.3")
-        _set_ff(fb.ff, sd, f"{fp}.4")
+        if not two_stream:
+            fb = t.frames_blocks[i]
+            _set_dwconv(fb.conv, sd, f"{fp}.0")
+            _set_rmsnorm(fb.attn_norm, sd, f"{fp}.1")
+            _set_attention(fb.attn, sd, f"{fp}.2")
+            _set_rmsnorm(fb.ff_norm, sd, f"{fp}.3")
+            _set_ff(fb.ff, sd, f"{fp}.4")
 
     _set_rmsnorm(t.final_norm, sd, "transformer.final_norm")
 
@@ -193,7 +253,15 @@ def load_cfm_from_reference_state_dict(sd_raw: Dict[str, np.ndarray], cfm,
     if cfm.cond_proj_in is not None and sd.has("cond_proj_in.weight"):
         _set_linear(cfm.cond_proj_in, sd, "cond_proj_in")
     _set_linear(cfm.to_pred, sd, "to_pred")
-    _set_linear(cfm.proj_frames, sd, "proj_frames")
+    if sd.has("proj_frames.weight"):
+        _set_linear(cfm.proj_frames, sd, "proj_frames")
+    elif two_stream:
+        # no frames stream in the checkpoint: make ours provably inert
+        cfm.proj_frames.kernel[...] = jnp.zeros_like(
+            cfm.proj_frames.kernel[...])
+        cfm.proj_frames.bias[...] = jnp.zeros_like(cfm.proj_frames.bias[...])
+    if cfm.proj_text is not None and sd.has("proj_text.weight"):
+        _set_linear(cfm.proj_text, sd, "proj_text")   # "mixed" encoder mode
 
     # trained piano-perception net (flat-key variant of the module converter)
     if cfm.video2roll is not None and sd.has("video2roll_net.conv1.weight"):
@@ -204,7 +272,10 @@ def load_cfm_from_reference_state_dict(sd_raw: Dict[str, np.ndarray], cfm,
         core = [k for k in leftovers
                 if not k.startswith(("text_encoder2.", "image_encoder.",
                                      "vocos.", "mel_spec.", "embed_text.",
-                                     "duration_predictor."))]
+                                     "duration_predictor.",
+                                     # variant-6 FactorCL tower: converted
+                                     # separately into training.contrastive
+                                     "transformer.contrastive_loss."))]
         if core:
             raise MissingKey(f"unconsumed trainable-core keys: {core[:10]}")
     return leftovers

@@ -142,6 +142,95 @@ def load_clip_vision_from_torch(torch_model, jax_model) -> None:
     jax_model.visual_projection.kernel[...] = sd["visual_projection.weight"].T
 
 
+# -------------------------------------------------------------------- dinov2
+
+def load_dinov2_from_torch(torch_model, jax_model) -> None:
+    """HF ``Dinov2Model`` -> ``v2ap_tpu.models.dinov2.Dinov2Model`` (the
+    reference's dinov2-giant tower, e2_tts_crossatt3.py:1431-1433)."""
+    sd = {k: _t2j(v) for k, v in torch_model.state_dict().items()}
+    e = "embeddings"
+    w = sd[f"{e}.patch_embeddings.projection.weight"]   # (out, in, kh, kw)
+    jax_model.patch_embed.kernel[...] = jnp.transpose(w, (2, 3, 1, 0))
+    jax_model.patch_embed.bias[...] = sd[f"{e}.patch_embeddings.projection.bias"]
+    jax_model.cls_token[...] = sd[f"{e}.cls_token"][0, 0]
+    jax_model.position_embedding[...] = sd[f"{e}.position_embeddings"][0]
+    for i, blk in enumerate(jax_model.blocks):
+        p = f"encoder.layer.{i}"
+        for src, dst in (("query", blk.attn.q), ("key", blk.attn.k),
+                         ("value", blk.attn.v)):
+            dst.kernel[...] = sd[f"{p}.attention.attention.{src}.weight"].T
+            dst.bias[...] = sd[f"{p}.attention.attention.{src}.bias"]
+        blk.attn.o.kernel[...] = sd[f"{p}.attention.output.dense.weight"].T
+        blk.attn.o.bias[...] = sd[f"{p}.attention.output.dense.bias"]
+        blk.norm1.scale[...] = sd[f"{p}.norm1.weight"]
+        blk.norm1.bias[...] = sd[f"{p}.norm1.bias"]
+        blk.norm2.scale[...] = sd[f"{p}.norm2.weight"]
+        blk.norm2.bias[...] = sd[f"{p}.norm2.bias"]
+        blk.scale1[...] = sd[f"{p}.layer_scale1.lambda1"]
+        blk.scale2[...] = sd[f"{p}.layer_scale2.lambda1"]
+        if f"{p}.mlp.weights_in.weight" in sd:           # SwiGLU (giant)
+            blk.mlp.weights_in.kernel[...] = sd[f"{p}.mlp.weights_in.weight"].T
+            blk.mlp.weights_in.bias[...] = sd[f"{p}.mlp.weights_in.bias"]
+            blk.mlp.weights_out.kernel[...] = sd[f"{p}.mlp.weights_out.weight"].T
+            blk.mlp.weights_out.bias[...] = sd[f"{p}.mlp.weights_out.bias"]
+        else:                                            # plain MLP
+            blk.mlp.fc1.kernel[...] = sd[f"{p}.mlp.fc1.weight"].T
+            blk.mlp.fc1.bias[...] = sd[f"{p}.mlp.fc1.bias"]
+            blk.mlp.fc2.kernel[...] = sd[f"{p}.mlp.fc2.weight"].T
+            blk.mlp.fc2.bias[...] = sd[f"{p}.mlp.fc2.bias"]
+    jax_model.layernorm.scale[...] = sd["layernorm.weight"]
+    jax_model.layernorm.bias[...] = sd["layernorm.bias"]
+
+
+# ------------------------------------------------------------------ convnext
+
+def load_convnext_from_torch(torch_model, jax_model,
+                             head_state: dict | None = None) -> None:
+    """HF ``ConvNextModel`` -> the trunk of
+    ``v2ap_tpu.models.convnext.ConvNextCLIP``.
+
+    ``head_state`` optionally carries the open_clip projection head tensors
+    (keys ``mlp.fc1.weight/bias``, ``mlp.fc2.weight/bias`` as in
+    ``visual.head.*`` of the open_clip checkpoint)."""
+    sd = {k: _t2j(v) for k, v in torch_model.state_dict().items()}
+    pre = "convnext." if any(k.startswith("convnext.") for k in sd) else ""
+
+    def conv(jmod, key):
+        jmod.kernel[...] = jnp.transpose(sd[f"{key}.weight"], (2, 3, 1, 0))
+        jmod.bias[...] = sd[f"{key}.bias"]
+
+    def ln(jmod, key):
+        jmod.scale[...] = sd[f"{key}.weight"]
+        jmod.bias[...] = sd[f"{key}.bias"]
+
+    conv(jax_model.stem_conv, f"{pre}embeddings.patch_embeddings")
+    ln(jax_model.stem_norm, f"{pre}embeddings.layernorm")
+    for s in range(4):
+        if s > 0:
+            d = f"{pre}encoder.stages.{s}.downsampling_layer"
+            ln(jax_model.downsamples[s - 1].norm, f"{d}.0")
+            conv(jax_model.downsamples[s - 1].conv, f"{d}.1")
+        for i, blk in enumerate(jax_model.stages[s]):
+            p = f"{pre}encoder.stages.{s}.layers.{i}"
+            # depthwise conv: torch (dim, 1, 7, 7) -> flax (7, 7, 1, dim)
+            w = sd[f"{p}.dwconv.weight"]
+            blk.dwconv.kernel[...] = jnp.transpose(w, (2, 3, 1, 0))
+            blk.dwconv.bias[...] = sd[f"{p}.dwconv.bias"]
+            ln(blk.norm, f"{p}.layernorm")
+            blk.pwconv1.kernel[...] = sd[f"{p}.pwconv1.weight"].T
+            blk.pwconv1.bias[...] = sd[f"{p}.pwconv1.bias"]
+            blk.pwconv2.kernel[...] = sd[f"{p}.pwconv2.weight"].T
+            blk.pwconv2.bias[...] = sd[f"{p}.pwconv2.bias"]
+            blk.scale[...] = sd[f"{p}.layer_scale_parameter"]
+    ln(jax_model.head_norm, f"{pre}layernorm")
+    if head_state:
+        h = {k: _t2j(v) for k, v in head_state.items()}
+        jax_model.head_fc1.kernel[...] = h["mlp.fc1.weight"].T
+        jax_model.head_fc1.bias[...] = h["mlp.fc1.bias"]
+        jax_model.head_fc2.kernel[...] = h["mlp.fc2.weight"].T
+        jax_model.head_fc2.bias[...] = h["mlp.fc2.bias"]
+
+
 # ----------------------------------------------------------------- video2roll
 
 def load_video2roll_from_torch(torch_model, jax_model) -> None:
