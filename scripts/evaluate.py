@@ -33,7 +33,12 @@ def main() -> int:
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--ref-dir", default=None,
-                    help="reference wavs for FAD (needs a registered embedder)")
+                    help="reference wavs for FAD (built-in PANN embedder; "
+                         "set $V2AP_PANN_WEIGHTS for absolute numbers)")
+    ap.add_argument("--clap", action="store_true",
+                    help="per-clip CLAP caption-audio scores (registers the "
+                         "built-in scorer; set $V2AP_CLAP_WEIGHTS for real "
+                         "numbers)")
     args = ap.parse_args()
 
     from v2ap_tpu.utils.jitting import enable_compile_cache
@@ -59,12 +64,18 @@ def main() -> int:
     if args.ckpt:
         pipeline.load_weights(args.ckpt)
 
+    if args.clap:
+        from v2ap_tpu.data import clap_filter
+        if not clap_filter.has_scorer():
+            from v2ap_tpu.evaluation.clap_scorer import make_clap_scorer
+            clap_filter.set_scorer(make_clap_scorer())
+
     summary = run_batch_eval(
         pipeline, args.scp, args.out, start=args.start, end=args.end,
         steps=args.steps, cfg_strength=args.cfg, piano=args.piano,
-        passes=args.passes)
+        passes=args.passes, clap_scores=args.clap)
 
-    # optional FAD against a reference corpus
+    # optional FAD against a reference corpus (self-contained PANN default)
     if args.ref_dir:
         from v2ap_tpu.data.audio_io import read_wav
         from v2ap_tpu.evaluation import metrics
@@ -74,7 +85,7 @@ def main() -> int:
             ref = [read_wav(p)[0][0] for p in
                    glob.glob(os.path.join(args.ref_dir, "*.wav"))]
             summary["fad"] = metrics.fad(ref, gen)
-        except RuntimeError as exc:
+        except (RuntimeError, ValueError) as exc:
             summary["fad_error"] = str(exc)
 
     print(json.dumps(summary))

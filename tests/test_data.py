@@ -155,4 +155,4 @@ def test_piano_preprocess_shape():
               ).astype(np.uint8)
     out = piano_preprocess(frames)
     assert out.shape == (3, 100, 900)
-    assert 0.0 <= out.min() and out.max() <= 1.0
+    assert out.dtype == np.uint8        # ships/caches uint8; /255 on device

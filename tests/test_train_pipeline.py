@@ -93,3 +93,33 @@ def test_video_drop_prompt_keeps_clip_stream(tiny_training, tmp_path):
     ctx = np.asarray(dev["context"])
     assert np.abs(ctx[0]).sum() == 0.0
     assert np.abs(ctx[1]).sum() > 0
+
+
+def test_fit_with_device_mesh(tmp_path):
+    """TrainingPipeline with a real 8-device mesh: model sharded by the DPxTP
+    rules, batches placed on the data axis, one fitted step with finite loss
+    (the scripts/train.py multi-device path)."""
+    import dataclasses
+    import jax
+    from v2ap_tpu.config import MeshConfig
+    from v2ap_tpu.models.clip_vit import clip_tiny_test
+    from v2ap_tpu.models.t5 import t5_tiny_test
+    from v2ap_tpu.parallel import make_mesh
+    from v2ap_tpu.training.pipeline import TrainingPipeline
+
+    cfg = tiny_pipeline_cfg()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, target_length=96),
+        train=dataclasses.replace(cfg.train, warmup_steps=1, decay_steps=50,
+                                  save_step=1000))
+    mesh = make_mesh(MeshConfig(), jax.devices())       # data=8
+    pipe = TrainingPipeline(cfg, work_dir=str(tmp_path / "run"), seed=0,
+                            t5_config=t5_tiny_test(),
+                            clip_config=clip_tiny_test(), mesh=mesh)
+    wavs = [make_wav(tmp_path, f"m{i}.wav", seconds=0.4, freq=180 + 30 * i)[0]
+            for i in range(8)]
+    samples = [Sample(p, f"tone {i}", "c") for i, p in enumerate(wavs)]
+    batcher = TrainBatcher(samples, pipe.cfg.data, batch_size=8, seed=0,
+                           mix_prob=0.0)
+    final = pipe.fit(batcher, num_steps=1, log_every=1)
+    assert final == 1

@@ -60,13 +60,21 @@ def read_video_frames(path: str, max_frames: Optional[int] = None
 def piano_preprocess(frames: np.ndarray, width: int = 900, height: int = 100
                      ) -> np.ndarray:
     """RGB frames (t, H, W, 3) -> grayscale keyboard strips (t, height, width)
-    in [0, 1] (reference transform, e2_tts_crossatt3.py:60-63,1898-1908)."""
+    as uint8 (reference transform divides by 255 — that happens device-side;
+    cv2.resize on uint8 stays uint8 so this is lossless and ships/caches 4x
+    smaller; e2_tts_crossatt3.py:60-63,1898-1908)."""
     import cv2
-    out = np.empty((len(frames), height, width), np.float32)
-    for i, f in enumerate(frames):
-        g = cv2.cvtColor(f, cv2.COLOR_RGB2GRAY)
-        out[i] = cv2.resize(g, (width, height), interpolation=cv2.INTER_LINEAR)
-    return out / 255.0
+    from concurrent.futures import ThreadPoolExecutor
+    out = np.empty((len(frames), height, width), np.uint8)
+
+    def work(i):
+        g = cv2.cvtColor(frames[i], cv2.COLOR_RGB2GRAY)
+        out[i] = cv2.resize(g, (width, height),
+                            interpolation=cv2.INTER_LINEAR)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:  # cv2 releases the GIL
+        list(pool.map(work, range(len(frames))))
+    return out
 
 
 def clip_feature_cache_path(video_path: str, encoder: str = "clip_vit") -> str:

@@ -167,22 +167,27 @@ CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
-def preprocess_frames(frames, image_size: int = 224, mean=None, std=None):
-    """uint8 RGB frames (t, H, W, 3) -> float32 (t, S, S, 3), normalised.
+def preprocess_frames(frames, image_size: int = 224, mean=None, std=None,
+                      normalize: bool = True):
+    """uint8 RGB frames (t, H, W, 3) -> (t, S, S, 3).
 
     Matches CLIPImageProcessor defaults: resize shortest edge (bicubic),
     center crop, rescale 1/255, normalize. Host-side (numpy + PIL).
     ``mean``/``std`` default to the CLIP constants; DINOv2 towers pass the
-    ImageNet ones.
+    ImageNet ones. With ``normalize=False`` only the geometry runs and the
+    result stays uint8 — the serving pipeline ships uint8 to the device
+    (4x less host->device traffic) and normalises inside the jitted tower.
     """
     import numpy as np
     from PIL import Image
 
-    out = np.empty((len(frames), image_size, image_size, 3), np.float32)
+    dtype = np.float32 if normalize else np.uint8
+    out = np.empty((len(frames), image_size, image_size, 3), dtype)
     mean = np.asarray(mean if mean is not None else CLIP_MEAN, np.float32)
     std = np.asarray(std if std is not None else CLIP_STD, np.float32)
-    for i, frame in enumerate(frames):
-        img = Image.fromarray(frame)
+
+    def work(i):
+        img = Image.fromarray(frames[i])
         w, h = img.size
         short = min(w, h)
         nw, nh = round(w * image_size / short), round(h * image_size / short)
@@ -190,6 +195,23 @@ def preprocess_frames(frames, image_size: int = 224, mean=None, std=None):
         left = (nw - image_size) // 2
         top = (nh - image_size) // 2
         img = img.crop((left, top, left + image_size, top + image_size))
-        arr = np.asarray(img, np.float32) / 255.0
-        out[i] = (arr - mean) / std
+        if normalize:
+            arr = np.asarray(img, np.float32) / 255.0
+            out[i] = (arr - mean) / std
+        else:
+            out[i] = np.asarray(img, np.uint8)
+
+    # PIL releases the GIL in resize; thread across frames
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(work, range(len(frames))))
     return out
+
+
+def device_normalize(px, mean, std):
+    """uint8 pixels -> normalised float, on device (jit-side counterpart of
+    ``preprocess_frames(normalize=False)``)."""
+    import jax.numpy as jnp
+
+    x = px.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)

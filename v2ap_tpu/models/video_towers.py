@@ -37,8 +37,10 @@ from v2ap_tpu.models.dinov2 import (
 class VideoTower:
     name: str                 # cache-dir suffix (mirrors the reference's
     model: nnx.Module         #  feature/ feature_clip_vit2/ ... layout)
-    preprocess: Callable[[np.ndarray], np.ndarray]
+    preprocess: Callable[[np.ndarray], np.ndarray]   # geometry only -> uint8
     embed_dim: int
+    mean: tuple               # normalisation applied device-side
+    std: tuple
 
 
 VALID_ENCODERS = ("clip_vit", "clip_vit2", "clip_convnext", "dinov2", "mixed")
@@ -89,6 +91,7 @@ def build_video_towers(video_encoder: str, *, seed: int = 0,
         towers.append(VideoTower(
             name=name, model=model,
             preprocess=lambda frames, kw=pre_kw: preprocess_frames(
-                frames, kw["image_size"], kw["mean"], kw["std"]),
-            embed_dim=dim))
+                frames, kw["image_size"], normalize=False),
+            embed_dim=dim, mean=tuple(pre_kw["mean"]),
+            std=tuple(pre_kw["std"])))
     return towers

@@ -31,8 +31,11 @@ def run_batch_eval(
     seed: int = 0,
     mux: bool = True,
     passes: int = 1,
+    clap_scores: bool = False,
 ) -> dict:
-    """Returns a summary dict: clips attempted/succeeded, realtime factor."""
+    """Returns a summary dict: clips attempted/succeeded, realtime factor,
+    and per-clip CLAP caption-audio scores when ``clap_scores`` and a scorer
+    is registered (data.clap_filter)."""
     from v2ap_tpu.data.audio_io import write_wav
     from v2ap_tpu.data.video_io import mux_audio_onto_video
 
@@ -43,6 +46,7 @@ def run_batch_eval(
 
     done, failed = 0, 0
     audio_s, wall_s = 0.0, 0.0
+    clap_rows: list = []
     for i, sample in enumerate(samples):
         prompt = "" if drop_prompt else sample.caption
         t0 = time.perf_counter()
@@ -62,6 +66,11 @@ def run_batch_eval(
         if mux:
             mux_audio_onto_video(sample.path, wav, sr,
                                  os.path.join(out_dir, f"{stem}.mp4"))
+        if clap_scores:
+            from v2ap_tpu.data import clap_filter
+            s = clap_filter.score(wav[None], sr, sample.caption or "")
+            if s is not None:
+                clap_rows.append({"clip": stem, "clap": round(s, 4)})
         done += 1
 
     summary = {
@@ -69,6 +78,10 @@ def run_batch_eval(
         "audio_seconds": round(audio_s, 2), "wall_seconds": round(wall_s, 2),
         "realtime_factor": round(audio_s / wall_s, 3) if wall_s else None,
     }
+    if clap_scores and clap_rows:
+        summary["clap_mean"] = round(
+            sum(r["clap"] for r in clap_rows) / len(clap_rows), 4)
+        summary["clap_scores"] = clap_rows
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary

@@ -131,6 +131,11 @@ class V2APipeline:
 
         self._t5_fwd = nnx.jit(lambda m, ids, mask: m(ids, mask))
         self._clip_fwd = nnx.jit(lambda m, px: m(px))
+        # serving path: pixels arrive uint8 (4x less tunnel/PCIe traffic than
+        # f32) and normalise on device before the tower
+        from v2ap_tpu.models.clip_vit import device_normalize
+        self._tower_fwd = nnx.jit(
+            lambda m, px, mean, std: m(device_normalize(px, mean, std)))
         self._decode = nnx.jit(lambda m, lat: m.decode(lat))
         self._encode_audio = nnx.jit(lambda m, wav: m.encode(wav))
         self._sample = nnx.jit(
@@ -149,7 +154,9 @@ class V2APipeline:
                                    sampler=sampler),
             static_argnames=("sampler", "passes", "restart_t"))
         self._encode_frames = nnx.jit(
-            lambda m, frames, n: m.encode_frames(frames, n),
+            lambda m, frames, n: m.encode_frames(
+                frames.astype(jnp.float32) / 255.0
+                if jnp.issubdtype(frames.dtype, jnp.integer) else frames, n),
             static_argnames="n")
 
     # ------------------------------------------------------------------ io
@@ -198,24 +205,29 @@ class V2APipeline:
         frames, duration = frames_cache[0]
         if frames is None:
             return None, None
-        px = tower.preprocess(frames)
-        embeds = []
+        px = tower.preprocess(frames)                 # uint8 geometry only
+        mean = self._jnp.asarray(tower.mean, self._jnp.float32)
+        std = self._jnp.asarray(tower.std, self._jnp.float32)
+        # dispatch every chunk before collecting any result: jax dispatch is
+        # async, so uploads and tower compute overlap instead of serialising
+        # on one host round-trip per chunk
+        pending = []
         for i in range(0, len(px), chunk):
             part = px[i: i + chunk]
             pad = chunk - len(part)
             if pad:
                 part = np.concatenate(
                     [part, np.zeros((pad,) + part.shape[1:], part.dtype)])
-            out = np.asarray(self._clip_fwd(tower.model,
-                                            self._jnp.asarray(part)))
-            embeds.append(out[: chunk - pad])
+            pending.append((pad, self._tower_fwd(
+                tower.model, self._jnp.asarray(part), mean, std)))
+        embeds = [np.asarray(out)[: chunk - pad] for pad, out in pending]
         feats = np.concatenate(embeds)
         if self.cfg.conditioning.feature_cache:
             video_io.save_feature_cache(cache, feats, duration)
         return feats, duration
 
     def encode_video_frames_clip(self, video_path: str, length: int,
-                                 chunk: int = 32):
+                                 chunk: int = 64, frames_cache=None):
         """Per-frame embeddings from the configured video tower(s),
         interpolated to the latent rate, with the reference's on-disk npz
         cache (e2_tts_crossatt3.py:1679-1813). In "mixed" mode the four
@@ -223,7 +235,7 @@ class V2APipeline:
         reference :1786-1789)."""
         from v2ap_tpu.data import video_io
 
-        frames_cache: list = []
+        frames_cache = [] if frames_cache is None else frames_cache
         per_tower = []
         duration = None
         for tower in self.towers:
@@ -246,16 +258,23 @@ class V2APipeline:
                                   interp.dtype)])
         return interp.astype(np.float32), duration
 
-    def encode_piano_frames(self, video_path: str, length: int):
+    def encode_piano_frames(self, video_path: str, length: int,
+                            frames_cache=None):
         """Grayscale keyboard strips resampled to the roll rate, cached
-        (e2_tts_crossatt3.py:1888-1943)."""
+        (e2_tts_crossatt3.py:1888-1943). ``frames_cache`` shares one video
+        decode with the CLIP tower pass."""
         from v2ap_tpu.data import video_io
 
         cache = video_io.piano_frames_cache_path(video_path)
         strips, duration = (video_io.load_feature_cache(cache)
                             if self.cfg.conditioning.feature_cache else (None, None))
         if strips is None:
-            frames, duration = video_io.read_video_frames(video_path)
+            if frames_cache:
+                frames, duration = frames_cache[0]
+            else:
+                frames, duration = video_io.read_video_frames(video_path)
+                if frames_cache is not None:
+                    frames_cache.append((frames, duration))
             if frames is None:
                 return None
             strips = video_io.piano_preprocess(
@@ -265,12 +284,14 @@ class V2APipeline:
                 video_io.save_feature_cache(cache, strips, duration)
         if strips.ndim == 4:                 # cache stores (t, h, w, 1)
             strips = strips[..., 0]
+        if strips.dtype != np.uint8:         # legacy float caches
+            strips = np.clip(strips * 255.0, 0, 255).round().astype(np.uint8)
         idx = video_io.interp_indices_piano(
             len(strips), duration, length,
             video_multi=self.cfg.model.video_multi,
             sample_rate=self.cfg.conditioning.sampling_rate,
             frame_size=self.cfg.conditioning.frame_size)
-        return strips[idx].astype(np.float32)
+        return strips[idx]                   # uint8; /255 happens on device
 
     # ---------------------------------------------------------------- generate
     def generate(
@@ -298,10 +319,11 @@ class V2APipeline:
 
         text_embed_np, video_duration = (None, None)
         n = None
+        decoded = []                      # one decode shared across encoders
         if video_path is not None:
             probe_len = int(max_duration_s * sr / cond.frame_size)
             text_embed_np, video_duration = self.encode_video_frames_clip(
-                video_path, probe_len)
+                video_path, probe_len, frames_cache=decoded)
         if duration_s is None:
             duration_s = min(video_duration or 10.0, max_duration_s)
         n_valid = int(round(duration_s * sr / cond.frame_size))
@@ -329,7 +351,8 @@ class V2APipeline:
             ctx = ctx * 0.0
 
         if piano and video_path is not None:
-            strips = self.encode_piano_frames(video_path, n)
+            strips = self.encode_piano_frames(video_path, n,
+                                              frames_cache=decoded)
             if strips is not None:
                 frames_roll = np.asarray(self._encode_frames(
                     self.cfm, jnp.asarray(strips[None]), n))
@@ -386,11 +409,14 @@ class V2APipeline:
         for i, vp in enumerate(video_paths):
             if vp is None:
                 continue
-            feats, _ = self.encode_video_frames_clip(vp, n_valid)
+            decoded = []
+            feats, _ = self.encode_video_frames_clip(vp, n_valid,
+                                                     frames_cache=decoded)
             if feats is not None:
                 text[i, : len(feats)] = feats[:n]
             if piano:
-                strips = self.encode_piano_frames(vp, n_valid)
+                strips = self.encode_piano_frames(vp, n_valid,
+                                                  frames_cache=decoded)
                 if strips is not None:
                     roll = np.asarray(self._encode_frames(
                         self.cfm, jnp.asarray(strips[None]), n))

@@ -25,7 +25,8 @@ from v2ap_tpu.config import V2APConfig
 class TrainingPipeline:
     def __init__(self, cfg: V2APConfig | None = None, *, seed: int = 0,
                  work_dir: str = "runs/v2ap", tiny: bool = False,
-                 t5_config=None, clip_config=None, encodec_config=None):
+                 t5_config=None, clip_config=None, encodec_config=None,
+                 mesh=None):
         import jax
         from v2ap_tpu.pipelines.generate import V2APipeline
         from v2ap_tpu.training.trainer import Trainer
@@ -40,6 +41,15 @@ class TrainingPipeline:
         self.pipe = V2APipeline(self.cfg, seed=seed, t5_config=t5_config,
                                 clip_config=clip_config,
                                 encodec_config=encodec_config)
+        # optional device mesh: shard the trained core with the DP(xTP)
+        # rules and place each batch on the data axis — jit then inserts the
+        # gradient AllReduce over ICI (SURVEY §5.8)
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from v2ap_tpu.parallel import batch_sharding, shard_model
+            shard_model(self.pipe.cfm, mesh)
+            self._batch_sharding = batch_sharding(mesh)
         self.trainer = Trainer(self.pipe.cfm, self.cfg.train)
         self.resumer = AutoResumer(self.trainer,
                                    os.path.join(work_dir, "ckpts"),
@@ -75,12 +85,12 @@ class TrainingPipeline:
                 text[i, : len(feats)] = feats[:n]
             if batch.piano[i]:
                 strips = self.pipe.encode_piano_frames(vp, n)
-                if strips is not None:
+                if strips is not None:       # uint8 -> [0,1] for the trainer
                     rows = int(np.floor(n / mc.video_multi)) + 1
                     if frames is None:
                         frames = np.zeros((b, rows) + strips.shape[1:],
                                           np.float32)
-                    frames[i, : len(strips)] = strips[:rows]
+                    frames[i, : len(strips)] = strips[:rows] / 255.0
                 gt_path = vp.replace(".mp4", ".3.npy")
                 if os.path.exists(gt_path):
                     gt = np.load(gt_path).astype(np.float32)[
@@ -103,6 +113,9 @@ class TrainingPipeline:
         }
         if frames is not None:
             out["frames"] = jnp.asarray(frames)
+        if self._batch_sharding is not None:
+            out = {k: self._jax.device_put(v, self._batch_sharding)
+                   for k, v in out.items()}
         return out
 
     # ----------------------------------------------------------------- loop

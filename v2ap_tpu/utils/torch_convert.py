@@ -231,6 +231,81 @@ def load_convnext_from_torch(torch_model, jax_model,
         jax_model.head_fc2.bias[...] = h["mlp.fc2.bias"]
 
 
+# ---------------------------------------------------------------------- clap
+
+def load_clap_from_torch(torch_model, jax_model) -> None:
+    """HF ``ClapModel`` (e.g. laion/clap-htsat-unfused) ->
+    ``v2ap_tpu.models.clap.ClapModel``. Replaces the reference's vendored
+    CLAP tower (src/audioldm/clap/, consumed by torch_tools.py:163-203)."""
+    sd = {k: _t2j(v) for k, v in torch_model.state_dict().items()}
+
+    def lin(jmod, key):
+        jmod.kernel[...] = sd[f"{key}.weight"].T
+        if f"{key}.bias" in sd and jmod.bias is not None:
+            jmod.bias[...] = sd[f"{key}.bias"]
+
+    def ln(jmod, key):
+        jmod.scale[...] = sd[f"{key}.weight"]
+        jmod.bias[...] = sd[f"{key}.bias"]
+
+    # ---- audio tower
+    a = "audio_model.audio_encoder"
+    jau = jax_model.audio_model
+    jau.batch_norm.scale[...] = sd[f"{a}.batch_norm.weight"]
+    jau.batch_norm.bias[...] = sd[f"{a}.batch_norm.bias"]
+    jau.batch_norm.mean[...] = sd[f"{a}.batch_norm.running_mean"]
+    jau.batch_norm.var[...] = sd[f"{a}.batch_norm.running_var"]
+    w = sd[f"{a}.patch_embed.proj.weight"]          # (out, in, kh, kw)
+    jau.patch_embed.kernel[...] = jnp.transpose(w, (2, 3, 1, 0))
+    jau.patch_embed.bias[...] = sd[f"{a}.patch_embed.proj.bias"]
+    ln(jau.patch_norm, f"{a}.patch_embed.norm")
+    for s, blocks in enumerate(jau.stages):
+        for i, blk in enumerate(blocks):
+            p = f"{a}.layers.{s}.blocks.{i}"
+            ln(blk.ln1, f"{p}.layernorm_before")
+            ln(blk.ln2, f"{p}.layernorm_after")
+            for src, dst in (("query", blk.attn.q), ("key", blk.attn.k),
+                             ("value", blk.attn.v)):
+                lin(dst, f"{p}.attention.self.{src}")
+            blk.attn.bias_table[...] = sd[
+                f"{p}.attention.self.relative_position_bias_table"]
+            lin(blk.attn.o, f"{p}.attention.output.dense")
+            lin(blk.fc1, f"{p}.intermediate.dense")
+            lin(blk.fc2, f"{p}.output.dense")
+        if s < len(jau.stages) - 1:
+            d = f"{a}.layers.{s}.downsample"
+            ln(jau.mergers[s].norm, f"{d}.norm")
+            lin(jau.mergers[s].reduction, f"{d}.reduction")
+    ln(jau.norm, f"{a}.norm")
+
+    # ---- text tower
+    t = "text_model"
+    jt = jax_model.text_model
+    jt.word_emb.embedding[...] = sd[f"{t}.embeddings.word_embeddings.weight"]
+    jt.pos_emb.embedding[...] = sd[
+        f"{t}.embeddings.position_embeddings.weight"]
+    jt.type_emb.embedding[...] = sd[
+        f"{t}.embeddings.token_type_embeddings.weight"]
+    ln(jt.emb_ln, f"{t}.embeddings.LayerNorm")
+    for i, layer in enumerate(jt.layers):
+        p = f"{t}.encoder.layer.{i}"
+        for src, dst in (("query", layer.q), ("key", layer.k),
+                         ("value", layer.v)):
+            lin(dst, f"{p}.attention.self.{src}")
+        lin(layer.attn_out, f"{p}.attention.output.dense")
+        ln(layer.attn_ln, f"{p}.attention.output.LayerNorm")
+        lin(layer.inter, f"{p}.intermediate.dense")
+        lin(layer.out, f"{p}.output.dense")
+        ln(layer.out_ln, f"{p}.output.LayerNorm")
+    lin(jt.pooler, f"{t}.pooler.dense")
+
+    # ---- projections
+    for name in ("audio_projection", "text_projection"):
+        jproj = getattr(jax_model, name)
+        lin(jproj.linear1, f"{name}.linear1")
+        lin(jproj.linear2, f"{name}.linear2")
+
+
 # ----------------------------------------------------------------- video2roll
 
 def load_video2roll_from_torch(torch_model, jax_model) -> None:
