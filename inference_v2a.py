@@ -22,7 +22,9 @@ def parse_args(argv):
         ns = argparse.Namespace(
             ckpt=argv[0], drop_prompt=bool(int(argv[1])), scp=argv[2],
             start=int(argv[3]), end=int(argv[4]), out=argv[5],
-            steps=64, cfg=2.0, piano=False, seed=0, passes=1)
+            step=int(argv[6]) if len(argv) > 6 else 1,
+            steps=64, cfg=2.0, piano=False, seed=0, passes=1,
+            raw_captions=False)
         return ns
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
@@ -30,6 +32,10 @@ def parse_args(argv):
     p.add_argument("--scp", required=True, help="video_path\\tcaption manifest")
     p.add_argument("--start", type=int, default=0)
     p.add_argument("--end", type=int, default=None)
+    p.add_argument("--step", type=int, default=1,
+                   help="manifest stride (reference vgg_test[3])")
+    p.add_argument("--raw-captions", dest="raw_captions", action="store_true",
+                   help="skip the reference's 'the sound of ' caption prefix")
     p.add_argument("--out", required=True)
     p.add_argument("--steps", type=int, default=64)
     p.add_argument("--cfg", type=float, default=2.0)
@@ -68,6 +74,9 @@ def main(argv=None) -> int:
 
     summary = run_batch_eval(
         pipeline, args.scp, args.out, start=args.start, end=args.end,
+        step=getattr(args, "step", 1),
+        caption_prefix="" if getattr(args, "raw_captions", False)
+        else "the sound of ",
         steps=args.steps, cfg_strength=args.cfg,
         drop_prompt=args.drop_prompt, piano=args.piano, seed=args.seed,
         passes=getattr(args, "passes", 1))

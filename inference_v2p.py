@@ -30,6 +30,8 @@ def main(argv=None) -> int:
             pipeline.load_weights(args.ckpt)
         summary = run_batch_eval(
             pipeline, args.scp, args.out, start=args.start, end=args.end,
+            step=getattr(args, "step", 1),
+            caption_prefix="the sound of ",
             steps=args.steps, cfg_strength=args.cfg,
             drop_prompt=args.drop_prompt, piano=True, seed=args.seed)
         print(summary)

@@ -231,3 +231,26 @@ def test_piano_coords_reference_defaults():
     assert len(pc.reference_boxes("train")) == 24
     assert len(pc.reference_boxes("test")) == 3
     assert pc.reference_boxes("train")[0] == (68, 674, 1869, 863)
+
+
+def test_int8_quantized_linears():
+    """AQT int8 dot_general swap: outputs stay close to f32 (DRQ error only)
+    and the swap actually changes the compute path."""
+    from v2ap_tpu.models.clip_vit import CLIPVisionModel, clip_tiny_test
+    from v2ap_tpu.utils.jitting import create_model
+    from v2ap_tpu.utils.quantize import quantize_linears_int8
+
+    cfg = clip_tiny_test()
+    m1 = create_model(lambda: CLIPVisionModel(cfg, rngs=nnx.Rngs(0)))
+    m2 = create_model(lambda: CLIPVisionModel(cfg, rngs=nnx.Rngs(0)))
+    n = quantize_linears_int8(m2)
+    assert n > 0
+    px = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, cfg.image_size, cfg.image_size, 3)).astype(np.float32))
+    fwd = nnx.jit(lambda m, x: m(x))
+    o1 = np.asarray(fwd(m1, px))
+    o2 = np.asarray(fwd(m2, px))
+    assert not np.allclose(o1, o2)                  # int8 path engaged
+    # relative error bounded (tiny net, dynamic-range int8)
+    rel = np.abs(o1 - o2).mean() / (np.abs(o1).mean() + 1e-9)
+    assert rel < 0.1, rel

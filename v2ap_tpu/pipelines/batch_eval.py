@@ -24,6 +24,8 @@ def run_batch_eval(
     *,
     start: int = 0,
     end: Optional[int] = None,
+    step: int = 1,
+    caption_prefix: str = "",
     steps: int = 64,
     cfg_strength: float = 2.0,
     drop_prompt: bool = False,
@@ -39,16 +41,20 @@ def run_batch_eval(
     from v2ap_tpu.data.audio_io import write_wav
     from v2ap_tpu.data.video_io import mux_audio_onto_video
 
+    # manifest slicing [start:end:step] and the "the sound of " caption
+    # prefix match the reference's vgg_test eval path
+    # (trainer_multigpus_alldatas3.py:936-950)
     samples = load_corpus(CorpusSpec("eval", scp_path, is_video=True,
                                      is_piano=piano))
-    samples = samples[start:end]
+    samples = samples[start:end:max(1, step)]
     os.makedirs(out_dir, exist_ok=True)
 
     done, failed = 0, 0
     audio_s, wall_s = 0.0, 0.0
     clap_rows: list = []
     for i, sample in enumerate(samples):
-        prompt = "" if drop_prompt else sample.caption
+        prompt = "" if drop_prompt else (
+            caption_prefix + (sample.caption or ""))
         t0 = time.perf_counter()
         try:
             wav, sr = pipeline.generate(

@@ -76,7 +76,8 @@ class V2APipeline:
     def __init__(self, cfg: V2APConfig | None = None, *, seed: int = 0,
                  tokenizer_path: Optional[str] = None,
                  t5_config=None, clip_config=None, encodec_config=None,
-                 tower_configs: Optional[dict] = None):
+                 tower_configs: Optional[dict] = None,
+                 quantize_towers: Optional[bool] = None):
         import jax
         import jax.numpy as jnp
         from flax import nnx
@@ -126,6 +127,14 @@ class V2APipeline:
             cast_params(self.t5, jnp.bfloat16)
             for tower in self.towers:
                 cast_params(tower.model, jnp.bfloat16)
+        # opt-in int8 matmuls for the frozen vision towers (MXU int8 ~2x
+        # bf16 on v5e; dynamic-range quantization via AQT)
+        if quantize_towers is None:
+            quantize_towers = os.environ.get("V2AP_INT8_TOWERS", "0") == "1"
+        if quantize_towers:
+            from v2ap_tpu.utils.quantize import quantize_linears_int8
+            for tower in self.towers:
+                quantize_linears_int8(tower.model)
 
         self.tokenize = load_t5_tokenizer(tokenizer_path, self.t5_cfg.vocab_size)
 
@@ -313,9 +322,12 @@ class V2APipeline:
         Serving-parity semantics: empty prompt becomes the video-drop filler
         "the sound of X X" with zeroed T5 context (e2_tts_crossatt3.py:
         2053-2062); piano mode feeds keyboard strips through Video2Roll."""
+        import time as _time
         jnp = self._jnp
         cond = self.cfg.conditioning
         sr = cond.sampling_rate
+        timings = {}
+        _t0 = _time.perf_counter()
 
         text_embed_np, video_duration = (None, None)
         n = None
@@ -324,6 +336,8 @@ class V2APipeline:
             probe_len = int(max_duration_s * sr / cond.frame_size)
             text_embed_np, video_duration = self.encode_video_frames_clip(
                 video_path, probe_len, frames_cache=decoded)
+        timings["video_encode_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         if duration_s is None:
             duration_s = min(video_duration or 10.0, max_duration_s)
         n_valid = int(round(duration_s * sr / cond.frame_size))
@@ -361,6 +375,8 @@ class V2APipeline:
                 frames_roll = jnp.zeros((b, n, self.cfg.model.notes))
         else:
             frames_roll = jnp.zeros((b, n, self.cfg.model.notes), jnp.float32)
+        timings["conditioning_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         mask = jnp.arange(n)[None, :] < n_valid
         x0 = self._jax.random.normal(
@@ -375,6 +391,10 @@ class V2APipeline:
             latents = self._sample(self.cfm, x0, text, frames_roll, ctx,
                                    ctx_mask, mask, sampler)
         wav = np.asarray(self._decode(self.codec, latents[:, :n_valid]))
+        timings["sample_decode_s"] = _time.perf_counter() - _t0
+        # last-call stage report (read by serving/profiling; approximate for
+        # async device work, exact at the blocking host-transfer boundaries)
+        self.last_timings = timings
         samples = int(duration_s * sr)
         return wav[0, :samples], sr
 

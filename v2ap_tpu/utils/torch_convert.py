@@ -153,7 +153,21 @@ def load_dinov2_from_torch(torch_model, jax_model) -> None:
     jax_model.patch_embed.kernel[...] = jnp.transpose(w, (2, 3, 1, 0))
     jax_model.patch_embed.bias[...] = sd[f"{e}.patch_embeddings.projection.bias"]
     jax_model.cls_token[...] = sd[f"{e}.cls_token"][0, 0]
-    jax_model.position_embedding[...] = sd[f"{e}.position_embeddings"][0]
+    pos = np.asarray(sd[f"{e}.position_embeddings"][0])   # (1+N_src, d)
+    n_dst = jax_model.position_embedding[...].shape[0] - 1
+    n_src = pos.shape[0] - 1
+    if n_src != n_dst:
+        # checkpoint trained at another resolution (giant ships 518px=37x37;
+        # serving crops 224px=16x16): bicubic-resize the patch-grid table,
+        # matching HF's interpolate_pos_encoding
+        import jax
+        g_src = int(round(n_src ** 0.5))
+        g_dst = int(round(n_dst ** 0.5))
+        grid = pos[1:].reshape(g_src, g_src, -1)
+        grid = np.asarray(jax.image.resize(
+            jnp.asarray(grid), (g_dst, g_dst, grid.shape[-1]), "bicubic"))
+        pos = np.concatenate([pos[:1], grid.reshape(g_dst * g_dst, -1)])
+    jax_model.position_embedding[...] = jnp.asarray(pos)
     for i, blk in enumerate(jax_model.blocks):
         p = f"encoder.layer.{i}"
         for src, dst in (("query", blk.attn.q), ("key", blk.attn.k),
