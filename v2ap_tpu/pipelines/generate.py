@@ -329,9 +329,39 @@ class V2APipeline:
         timings = {}
         _t0 = _time.perf_counter()
 
+        def plan_length(dur_s):
+            """(duration_s, n_valid, n): bucketed latent length under the
+            abs-pos ceiling (seq + registers must fit max_seq_len)."""
+            max_n = ((self.cfg.model.max_seq_len
+                      - self.cfg.model.num_registers) // 96) * 96
+            nv = min(int(round(dur_s * sr / cond.frame_size)), max_n)
+            return (min(dur_s, nv * cond.frame_size / sr), nv,
+                    min(bucket_length(nv), max_n))
+
         text_embed_np, video_duration = (None, None)
         n = None
         decoded = []                      # one decode shared across encoders
+        strips_dev = None
+        if piano and video_path is not None and duration_s is None:
+            # piano path: decode first and dispatch the keyboard-strip upload
+            # *before* the CLIP pass, so the ~20 MB uint8 transfer rides the
+            # wire while the host does CLIP preprocessing and the device runs
+            # the vision tower (jax transfers are async)
+            from v2ap_tpu.data import video_io
+            cache = video_io.piano_frames_cache_path(video_path)
+            has_strip_cache = (self.cfg.conditioning.feature_cache
+                               and video_io.load_feature_cache(cache)[0] is not None)
+            if not has_strip_cache:
+                decoded.append(video_io.read_video_frames(video_path))
+                if decoded[0][0] is not None:
+                    dur0 = min(decoded[0][1] or 10.0, max_duration_s)
+                    duration_s, n_valid, n = plan_length(dur0)
+                    strips = self.encode_piano_frames(video_path, n,
+                                                      frames_cache=decoded)
+                    if strips is not None:
+                        # async host->device transfer starts here and overlaps
+                        # the CLIP preprocessing + tower pass below
+                        strips_dev = jnp.asarray(strips[None])
         if video_path is not None:
             probe_len = int(max_duration_s * sr / cond.frame_size)
             text_embed_np, video_duration = self.encode_video_frames_clip(
@@ -339,14 +369,10 @@ class V2APipeline:
         timings["video_encode_s"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         if duration_s is None:
-            duration_s = min(video_duration or 10.0, max_duration_s)
-        n_valid = int(round(duration_s * sr / cond.frame_size))
-        # hard ceiling: seq + registers must fit the abs-pos table
-        max_n = ((self.cfg.model.max_seq_len - self.cfg.model.num_registers)
-                 // 96) * 96
-        n_valid = min(n_valid, max_n)
-        duration_s = min(duration_s, n_valid * cond.frame_size / sr)
-        n = min(bucket_length(n_valid), max_n)
+            duration_s, n_valid, n = plan_length(
+                min(video_duration or 10.0, max_duration_s))
+        elif n is None:
+            duration_s, n_valid, n = plan_length(duration_s)
 
         b = 1
         # mixed mode: raw concat width; CFM.proj_text projects to dim_text
@@ -365,12 +391,13 @@ class V2APipeline:
             ctx = ctx * 0.0
 
         if piano and video_path is not None:
-            strips = self.encode_piano_frames(video_path, n,
-                                              frames_cache=decoded)
-            if strips is not None:
-                frames_roll = np.asarray(self._encode_frames(
-                    self.cfm, jnp.asarray(strips[None]), n))
-                frames_roll = jnp.asarray(frames_roll)
+            if strips_dev is None:        # cached-strip / explicit-duration path
+                strips = self.encode_piano_frames(video_path, n,
+                                                  frames_cache=decoded)
+                if strips is not None:
+                    strips_dev = jnp.asarray(strips[None])
+            if strips_dev is not None:
+                frames_roll = self._encode_frames(self.cfm, strips_dev, n)
             else:
                 frames_roll = jnp.zeros((b, n, self.cfg.model.notes))
         else:
