@@ -371,3 +371,44 @@ def load_video2roll_from_torch(torch_model, jax_model) -> None:
     convbn(jax_model.toplayer, "toplayer", "toplayer_bn")
     conv(jax_model.conv2, "conv2")
     linear(jax_model.fc, "fc")
+
+
+# --------------------------------------------------------------------- vocos
+
+def load_vocos_from_state_dict(state_dict, jax_model) -> None:
+    """charactr/vocos-mel-24khz state dict -> ``v2ap_tpu.models.vocos.Vocos``.
+
+    Takes a raw name->tensor mapping (the vocos package need not be
+    installed; ``torch.load(..., map_location='cpu')['state_dict']`` or the
+    HF safetensors dict both work). Reference wiring: e2_tts_crossatt3.py:
+    47-49,1404-1405.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        sd[k] = jnp.asarray(v)
+
+    def conv1d(jmod, key):               # torch (out, in|1, k) -> flax (k, in, out)
+        jmod.kernel[...] = jnp.transpose(sd[f"{key}.weight"], (2, 1, 0))
+        jmod.bias[...] = sd[f"{key}.bias"]
+
+    def ln(jmod, key):
+        jmod.scale[...] = sd[f"{key}.weight"]
+        jmod.bias[...] = sd[f"{key}.bias"]
+
+    conv1d(jax_model.embed, "backbone.embed")
+    ln(jax_model.norm, "backbone.norm")
+    for i, blk in enumerate(jax_model.blocks):
+        p = f"backbone.convnext.{i}"
+        w = sd[f"{p}.dwconv.weight"]                     # (dim, 1, k)
+        blk.dwconv.kernel[...] = jnp.transpose(w, (2, 1, 0))
+        blk.dwconv.bias[...] = sd[f"{p}.dwconv.bias"]
+        ln(blk.norm, f"{p}.norm")
+        blk.pwconv1.kernel[...] = sd[f"{p}.pwconv1.weight"].T
+        blk.pwconv1.bias[...] = sd[f"{p}.pwconv1.bias"]
+        blk.pwconv2.kernel[...] = sd[f"{p}.pwconv2.weight"].T
+        blk.pwconv2.bias[...] = sd[f"{p}.pwconv2.bias"]
+        blk.gamma[...] = sd[f"{p}.gamma"]
+    ln(jax_model.final_norm, "backbone.final_layer_norm")
+    jax_model.head.kernel[...] = sd["head.out.weight"].T
+    jax_model.head.bias[...] = sd["head.out.bias"]
