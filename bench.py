@@ -104,6 +104,38 @@ def bench_hot_loop(cfg, sampler, result: dict) -> None:
     result["hot_loop_x_realtime"] = round(
         audio_seconds / float(np.median(times)), 3)
 
+    # opt-in int8 CFM core (AQT dynamic-range; latents shift ~1.6% rms vs
+    # bf16 so it is not the primary metric — see utils/quantize.py)
+    if os.environ.get("V2AP_BENCH_INT8", "1") == "1":
+        try:
+            from v2ap_tpu.utils.quantize import quantize_linears_int8
+            quantize_linears_int8(model)
+            graphdef_i8, state_i8 = nnx.split(model)
+
+            @jax.jit
+            def generate_i8(state, cstate, x0, text, frames, ctx, ctx_mask):
+                m = nnx.merge(graphdef_i8, state)
+                latents = m.sample(x0, text_embed=text, frames_embed=frames,
+                                   context=ctx, context_mask=ctx_mask,
+                                   mask=None, sampler=sampler)
+                c = nnx.merge(cgraph, cstate)
+                return c.decode(latents)
+
+            wav = generate_i8(state_i8, cstate, x0, text, frames, ctx,
+                              ctx_mask)
+            _ = np.asarray(wav[:, :8])
+            times_i8 = []
+            for i in range(2):
+                t0 = time.perf_counter()
+                wav = generate_i8(state_i8, cstate, x0 + float(i + 1) * 1e-6,
+                                  text, frames, ctx, ctx_mask)
+                _ = np.asarray(wav[:, :8])
+                times_i8.append(time.perf_counter() - t0)
+            result["hot_loop_int8_x_realtime"] = round(
+                audio_seconds / float(np.median(times_i8)), 3)
+        except Exception as exc:
+            result["int8_error"] = f"{type(exc).__name__}: {exc}"[:120]
+
     # throughput mode (clips riding the batch axis): opt-in, extra keys only
     tb = int(os.environ.get("V2AP_BENCH_THROUGHPUT_BATCH", "0"))
     if tb > 1:

@@ -75,16 +75,28 @@ def main() -> int:
         steps=args.steps, cfg_strength=args.cfg, piano=args.piano,
         passes=args.passes, clap_scores=args.clap)
 
-    # optional FAD against a reference corpus (self-contained PANN default)
+    # optional FAD / IS / KL against a reference corpus (self-contained
+    # PANN Cnn14 embedder+classifier; KL is paired by wav basename)
     if args.ref_dir:
         from v2ap_tpu.data.audio_io import read_wav
         from v2ap_tpu.evaluation import metrics
         try:
-            gen = [read_wav(p)[0][0] for p in
-                   glob.glob(os.path.join(args.out, "*.wav"))]
-            ref = [read_wav(p)[0][0] for p in
-                   glob.glob(os.path.join(args.ref_dir, "*.wav"))]
-            summary["fad"] = metrics.fad(ref, gen)
+            gen_paths = sorted(glob.glob(os.path.join(args.out, "*.wav")))
+            ref_paths = sorted(glob.glob(os.path.join(args.ref_dir, "*.wav")))
+            gen = [read_wav(p)[0][0] for p in gen_paths]
+            ref = [read_wav(p)[0][0] for p in ref_paths]
+            ref_by_name = {os.path.basename(p): w
+                           for p, w in zip(ref_paths, ref)}
+            pairs = [(ref_by_name[os.path.basename(p)], w)
+                     for p, w in zip(gen_paths, gen)
+                     if os.path.basename(p) in ref_by_name]
+            if pairs and len(pairs) == len(gen):   # fully paired corpora
+                summary.update(metrics.audioldm_eval_metrics(
+                    [r for r, _ in pairs], [g for _, g in pairs],
+                    paired=True))
+            else:
+                summary.update(metrics.audioldm_eval_metrics(
+                    ref, gen, paired=False))
         except (RuntimeError, ValueError) as exc:
             summary["fad_error"] = str(exc)
 

@@ -115,3 +115,72 @@ def test_fad_self_contained():
         assert diff > same
     finally:
         metrics.set_embedder(None)
+
+
+def test_cnn14_tagging_head_parity():
+    """fc_audioset logits match a torch replica (converter orientation)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    cfg = pann_tiny_test()
+    sd = _synthetic_state_dict(torch, cfg)
+    g = torch.Generator().manual_seed(7)
+    sd["fc_audioset.weight"] = torch.randn(
+        cfg.num_classes, cfg.embed_dim, generator=g) * 0.05
+    sd["fc_audioset.bias"] = torch.randn(cfg.num_classes, generator=g) * 0.05
+    jmodel = create_model(lambda: Cnn14(cfg, rngs=nnx.Rngs(0)))
+    load_pann_from_state_dict(sd, jmodel)
+
+    wav = np.random.default_rng(1).normal(size=(2, 16_000)).astype(np.float32) * 0.2
+    mel = np.asarray(pann_logmel(jnp.asarray(wav), cfg))
+    with torch.no_grad():
+        emb = _torch_cnn14(torch, sd, cfg)(torch.from_numpy(mel))
+        t_logits = F.linear(emb, sd["fc_audioset.weight"],
+                            sd["fc_audioset.bias"]).numpy()
+    j_logits = np.asarray(nnx.jit(lambda m, w: m.logits(w))(
+        jmodel, jnp.asarray(wav)))
+    np.testing.assert_allclose(j_logits, t_logits, rtol=2e-3, atol=2e-4)
+
+
+def test_kl_and_inception_score_math():
+    from v2ap_tpu.evaluation.metrics import (
+        inception_score, kl_sigmoid, kl_softmax)
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(8, 10)).astype(np.float32)
+    # identical collections: both KLs are exactly zero
+    assert kl_softmax(logits, logits) == 0.0
+    assert abs(kl_sigmoid(logits, logits)) < 1e-6
+    # shifted logits: strictly positive
+    assert kl_softmax(logits, logits + rng.normal(size=logits.shape)) > 0.0
+    assert kl_sigmoid(logits, logits + 1.0) > 0.0
+    # IS: uniform predictions -> 1; confident distinct classes -> ~n_classes
+    uniform = np.zeros((10, 10), np.float32)
+    m, _ = inception_score(uniform, splits=2)
+    assert abs(m - 1.0) < 1e-5
+    peaked = np.eye(10, dtype=np.float32) * 50.0
+    m, _ = inception_score(peaked, splits=1)
+    assert m > 9.0
+    # pairing enforced
+    with pytest.raises(ValueError):
+        kl_softmax(logits[:4], logits)
+
+
+def test_audioldm_eval_metrics_self_contained():
+    """FAD + IS + paired KL computed with the built-in tiny Cnn14 stack."""
+    from v2ap_tpu.evaluation import metrics
+    from v2ap_tpu.evaluation.pann import make_classifier
+    cfg = pann_tiny_test()
+    embed = make_embedder(cfg)
+    cls = make_classifier(cfg)
+    rng = np.random.default_rng(0)
+    ref = [rng.normal(size=16_000).astype(np.float32) * 0.1 for _ in range(4)]
+    out = metrics.audioldm_eval_metrics(ref, ref, sr=16_000,
+                                        embedder=embed, classifier=cls)
+    assert out["fad"] < 1e-3
+    assert out["kl_softmax"] == 0.0 and abs(out["kl_sigmoid"]) < 1e-6
+    assert out["is_mean"] >= 1.0 - 1e-5 and np.isfinite(out["is_std"])
+    gen = [np.sin(2 * np.pi * 330 * np.arange(16_000) / 16000
+                  ).astype(np.float32) * 0.3 for _ in range(3)]
+    out2 = metrics.audioldm_eval_metrics(ref, gen, sr=16_000,
+                                         embedder=embed, classifier=cls)
+    assert out2["fad"] > out["fad"]
+    assert "kl_softmax" not in out2        # unpaired lengths -> no KL

@@ -203,3 +203,49 @@ def test_all_video_encoder_modes_construct_and_generate(tmp_path):
         wav, sr = pipe.generate(video, "a test", duration_s=1.0, steps=2,
                                 seed=0)
         assert sr == 24_000 and np.isfinite(wav).all() and len(wav) > 0
+
+
+def test_generate_int8_cfm_optin():
+    """V2AP_INT8_CFM / quantize_cfm=True: int8 CFM core runs end to end and
+    stays close to the f32 pipeline (AQT dynamic-range error only). Both
+    pipelines are built fresh — earlier tests mutate the shared fixture's
+    weights (load_weights roundtrip)."""
+    pipe = V2APipeline(tiny_pipeline_cfg(), t5_config=t5_tiny_test(),
+                       clip_config=clip_tiny_test())
+    qpipe = V2APipeline(tiny_pipeline_cfg(), t5_config=t5_tiny_test(),
+                        clip_config=clip_tiny_test(), quantize_cfm=True)
+    w1, _ = pipe.generate(None, "", duration_s=1.0, steps=2, seed=0)
+    w2, sr = qpipe.generate(None, "", duration_s=1.0, steps=2, seed=0)
+    assert sr == 24_000 and np.isfinite(w2).all()
+    assert not np.allclose(w1, w2)                  # int8 path engaged
+    rel = np.abs(w1 - w2).mean() / (np.abs(w1).mean() + 1e-9)
+    assert rel < 0.2, rel
+
+
+def test_shard_serving_matches_single_device(tmp_path):
+    """shard_serving(): tower frame batches shard over the 8-device mesh and
+    the whole serving path still produces the single-device waveform."""
+    import dataclasses
+    import jax
+    from v2ap_tpu.config import MeshConfig
+    from v2ap_tpu.parallel import make_mesh
+
+    video = str(tmp_path / "shard.mp4")
+    if not write_synthetic_video(video, frames=16, fps=4):
+        pytest.skip("cv2 video writer unavailable")
+
+    def mk():
+        cfg = tiny_pipeline_cfg()
+        cfg = cfg.replace(conditioning=dataclasses.replace(
+            cfg.conditioning, feature_cache=False))   # tower runs every call
+        return V2APipeline(cfg, t5_config=t5_tiny_test(),
+                           clip_config=clip_tiny_test())
+
+    w_ref, _ = mk().generate(video, "a prompt", duration_s=1.0, steps=2,
+                             seed=0)
+    sharded = mk()
+    sharded.shard_serving(make_mesh(MeshConfig(), jax.devices()))
+    w_sh, sr = sharded.generate(video, "a prompt", duration_s=1.0, steps=2,
+                                seed=0)
+    assert sr == 24_000
+    np.testing.assert_allclose(w_ref, w_sh, rtol=2e-4, atol=2e-5)

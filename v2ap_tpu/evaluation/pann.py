@@ -40,6 +40,7 @@ class PannConfig:
     fmin: float = 50.0
     fmax: float = 8_000.0
     embed_dim: int = 2048
+    num_classes: int = 527            # AudioSet tagging head (fc_audioset)
     amin: float = 1e-10
     dtype: str = "float32"
 
@@ -56,7 +57,7 @@ def pann_32k() -> PannConfig:
 
 
 def pann_tiny_test() -> PannConfig:
-    return PannConfig(embed_dim=32)
+    return PannConfig(embed_dim=32, num_classes=10)
 
 
 def pann_logmel(waveform: jnp.ndarray, cfg: PannConfig) -> jnp.ndarray:
@@ -117,6 +118,12 @@ class Cnn14(nnx.Module):
         self.blocks = nnx.List(blocks)
         self.fc1 = nnx.Linear(cfg.embed_dim, cfg.embed_dim, dtype=dtype,
                               param_dtype=jnp.float32, rngs=rngs)
+        # AudioSet tagging head: clipwise logits over 527 event classes
+        # (sigmoid'ed in the published model; kept as logits here so both
+        # the softmax-KL and sigmoid-KL eval conventions can use them)
+        self.fc_audioset = nnx.Linear(cfg.embed_dim, cfg.num_classes,
+                                      dtype=dtype, param_dtype=jnp.float32,
+                                      rngs=rngs)
 
     def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
         mel = pann_logmel(waveform, self.cfg)          # (b, t, m)
@@ -129,6 +136,11 @@ class Cnn14(nnx.Module):
         x = jnp.mean(x, axis=2)                        # (b, t', c) mel-mean
         x = jnp.max(x, axis=1) + jnp.mean(x, axis=1)   # time pooling
         return nnx.relu(self.fc1(x)).astype(jnp.float32)
+
+    def logits(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        """(b, t) -> (b, num_classes) clipwise AudioSet logits (no dropout:
+        inference path of the published Cnn14)."""
+        return self.fc_audioset(self(waveform)).astype(jnp.float32)
 
 
 def load_pann_from_state_dict(sd: dict, jmodel: Cnn14) -> None:
@@ -154,6 +166,9 @@ def load_pann_from_state_dict(sd: dict, jmodel: Cnn14) -> None:
         bn(blk.bn2, f"{p}.bn2")
     jmodel.fc1.kernel[...] = arr(sd["fc1.weight"]).T
     jmodel.fc1.bias[...] = arr(sd["fc1.bias"])
+    if "fc_audioset.weight" in sd:                 # tagging head (IS / KL)
+        jmodel.fc_audioset.kernel[...] = arr(sd["fc_audioset.weight"]).T
+        jmodel.fc_audioset.bias[...] = arr(sd["fc_audioset.bias"])
 
 
 def make_embedder(cfg: PannConfig | None = None, weights_path: str | None = None):
@@ -182,3 +197,29 @@ def make_embedder(cfg: PannConfig | None = None, weights_path: str | None = None
         return np.asarray(fwd(model, jnp.asarray(wav)))
 
     return embed
+
+
+def make_classifier(cfg: PannConfig | None = None,
+                    weights_path: str | None = None):
+    """Build ``classify(waveform, sr) -> (n, num_classes)`` clipwise AudioSet
+    logits for the IS / KL metrics (same Cnn14 checkpoint as the embedder)."""
+    import os
+    from v2ap_tpu.utils.jitting import create_model
+
+    cfg = cfg or pann_16k()
+    model = create_model(lambda: Cnn14(cfg, rngs=nnx.Rngs(0)))
+    weights_path = weights_path or os.environ.get("V2AP_PANN_WEIGHTS")
+    if weights_path:
+        import torch
+        ckpt = torch.load(weights_path, map_location="cpu")
+        load_pann_from_state_dict(ckpt.get("model", ckpt), model)
+    fwd = nnx.jit(lambda m, w: m.logits(w))
+
+    def classify(waveform: np.ndarray, sr: int) -> np.ndarray:
+        from v2ap_tpu.data.audio_io import resample
+        wav = np.atleast_2d(np.asarray(waveform, np.float32))
+        if sr != cfg.sample_rate:
+            wav = resample(wav, sr, cfg.sample_rate)
+        return np.asarray(fwd(model, jnp.asarray(wav)))
+
+    return classify
