@@ -28,6 +28,9 @@ def main() -> int:
                     help="defaults to jax.process_index() after "
                          "init_distributed (override for manual launches)")
     ap.add_argument("--num-hosts", type=int, default=None)
+    ap.add_argument("--no-remat", action="store_true",
+                    help="keep all activations (faster per step, needs the "
+                         "HBM headroom of a sharded/multi-chip run)")
     ap.add_argument("--no-mesh", action="store_true",
                     help="skip device-mesh sharding (single-device debug)")
     args = ap.parse_args()
@@ -56,7 +59,12 @@ def main() -> int:
     batcher = TrainBatcher(samples, batch_size=args.batch_size,
                            host_id=host_id, num_hosts=num_hosts,
                            seed=args.seed)
+    import dataclasses
+    # remat: the full-size model + f32 AdamW state needs recompute-backward
+    # to fit per-chip HBM (see ModelConfig.remat); --no-remat to disable
     cfg = V2APConfig()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                remat=not args.no_remat))
     mesh = None
     if not args.no_mesh and jax.device_count() > 1:
         from v2ap_tpu.parallel import make_mesh

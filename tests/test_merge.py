@@ -63,3 +63,32 @@ def test_merge_wav_files_crossfade(tmp_path):
     out = merge_wav_files([pa, pb], str(tmp_path / "xf.wav"), crossfade_s=0.05)
     audio, _ = read_wav(out)
     assert audio.shape[-1] == sr - int(0.05 * sr)
+
+
+def test_merge_wavs_cli(tmp_path):
+    """scripts/merge_wavs.py concat: groups <stem>.%08d.wav chunk files the
+    way the reference's merge_wavs.py pairs 10 s outputs into 20 s files."""
+    import os
+    import subprocess
+    import sys as _sys
+    sr = 24_000
+    in_dir = tmp_path / "chunks"
+    out_dir = tmp_path / "merged"
+    in_dir.mkdir()
+    for i in range(4):
+        write_wav(str(in_dir / f"clip.{i:08d}.wav"),
+                  np.full(sr // 4, 0.1 * (i + 1), np.float32), sr)
+    write_wav(str(in_dir / "plain.wav"),          # non-chunk name: ignored
+              np.zeros(sr // 4, np.float32), sr)
+    r = subprocess.run(
+        [_sys.executable, "scripts/merge_wavs.py", "concat",
+         "--in-dir", str(in_dir), "--out-dir", str(out_dir), "--group", "2"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["clip.1.wav", "clip.2.wav"]
+    audio, sr2 = read_wav(str(out_dir / "clip.1.wav"))
+    assert sr2 == sr and audio.shape[-1] == sr // 2
+    # chunk order preserved: first half quieter than second
+    assert abs(audio[0, 100] - 0.1) < 1e-3 and abs(audio[0, -100] - 0.2) < 1e-3

@@ -89,6 +89,32 @@ def test_flash_attention_matches_reference(rng, softclamp):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+def test_flash_attention_gradients_match_reference(rng):
+    """The custom VJP (XLA-reference recompute backward) produces the same
+    q/k/v gradients as differentiating the reference math directly — the
+    training path runs through this (Pallas kernels have no native vjp)."""
+    b, h, n, d = 1, 2, 128, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, n)) > 0.3)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, mask, softclamp=50.0,
+                              block_q=128, block_k=128, interpret=True)
+        return (out * out).sum()
+
+    def loss_ref(q, k, v):
+        out = attention_reference(q, k, v, mask, softclamp=50.0)
+        return (out * out).sum()
+
+    import jax
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(a, b_, rtol=5e-4, atol=5e-4)
+
+
 def test_attention_module_self_and_cross(rng):
     self_attn = Attention(32, heads=2, dim_head=16, use_pallas=False,
                           rngs=nnx.Rngs(0))

@@ -116,3 +116,39 @@ def test_gradients_flow():
     flat = jax.tree.leaves(nnx.to_flat_state(grads))
     total = sum(float(jnp.sum(jnp.abs(g))) for g in flat if hasattr(g, "dtype"))
     assert np.isfinite(total) and total > 0
+
+
+def test_remat_matches_unremat():
+    """cfg.remat=True must not change outputs or gradients — it only trades
+    recompute for activation memory in the backward pass."""
+    import dataclasses
+    import jax
+    from v2ap_tpu import config as cfglib
+
+    cfg = cfglib.tiny_test().model
+    rng = np.random.default_rng(0)
+    r = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    b, n = 2, 8
+    args = dict(times=jnp.asarray([0.3, 0.7]), mask=None,
+                text_embed=r(b, n, cfg.dim_text),
+                frames_embed=r(b, n, cfg.dim_frames))
+    x = r(b, n, cfg.dim)
+
+    outs, grads = [], []
+    for remat in (False, True):
+        mcfg = dataclasses.replace(cfg, remat=remat)
+        model = create_model(lambda: TriStreamTransformer(mcfg,
+                                                          rngs=nnx.Rngs(0)))
+        graphdef, state = nnx.split(model)
+
+        @jax.jit
+        def loss_fn(state, x):
+            m = nnx.merge(graphdef, state)
+            out = m(x, **args)
+            return (out * out).mean()
+
+        outs.append(float(loss_fn(state, x)))
+        g = jax.grad(loss_fn, argnums=1)(state, x)
+        grads.append(np.asarray(g))
+    assert abs(outs[0] - outs[1]) < 1e-6, outs
+    np.testing.assert_allclose(grads[0], grads[1], rtol=1e-5, atol=1e-6)

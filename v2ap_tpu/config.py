@@ -66,6 +66,11 @@ class ModelConfig:
     # compute dtypes
     dtype: str = "bfloat16"          # activation/compute dtype on TPU
     param_dtype: str = "float32"
+    # per-layer rematerialization (jax.checkpoint): recompute activations in
+    # backward instead of saving them — required for full-size training on a
+    # single 16 GB chip (f32 params + AdamW moments leave no room for saved
+    # activations). No effect on inference.
+    remat: bool = False
 
     @property
     def video_multi(self) -> float:

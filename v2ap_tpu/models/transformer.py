@@ -147,6 +147,34 @@ class AudioBlock(nnx.Module):
         return x
 
 
+def _layer_fwd(text_block, frames_block, cross_cond, audio_block,
+               x, text_embed, frames_embed, skip, cond,
+               rot_audio, rot_text, rot_frames, mask, context, context_mask,
+               deterministic, collect):
+    """One tri-stream layer (text/frames towers -> cross-condition fusion ->
+    audio block). Factored out of the depth loop so training can wrap it in
+    ``nnx.remat``: full-size training (12x1024, f32 AdamW state) does not fit
+    one chip's HBM with all activations saved. Returns the post-fusion
+    ``x_mid`` too — the U-Net skip source (reference :1108-1117)."""
+    collected = ()
+    if text_block is not None:
+        text_embed = text_block(text_embed, rotary=rot_text, mask=mask,
+                                deterministic=deterministic)
+        frames_embed = frames_block(frames_embed, rotary=rot_frames,
+                                    mask=mask, deterministic=deterministic)
+        if collect:
+            collected = (x, text_embed)
+        x, text_embed, frames_embed = cross_cond(x, text_embed, frames_embed)
+    x_mid = x
+    x = audio_block(x, skip, cond=cond, rotary=rot_audio, mask=mask,
+                    context=context, context_mask=context_mask,
+                    deterministic=deterministic)
+    return x, text_embed, frames_embed, x_mid, collected
+
+
+_layer_fwd_remat = nnx.remat(_layer_fwd, static_argnums=(15, 16))
+
+
 class TriStreamTransformer(nnx.Module):
     def __init__(self, cfg: ModelConfig, *, rngs: nnx.Rngs):
         assert cfg.depth % 2 == 0, "depth must be even for U-Net skips"
@@ -239,33 +267,28 @@ class TriStreamTransformer(nnx.Module):
 
         skips = []
         collected = None
+        layer_fn = _layer_fwd_remat if cfg.remat else _layer_fwd
         for ind in range(cfg.depth):
             text_block = self.text_blocks[ind]
-            if text_block is not None:
-                text_embed = text_block(text_embed, rotary=rot_text, mask=mask,
-                                        deterministic=deterministic)
-                frames_embed = self.frames_blocks[ind](
-                    frames_embed, rotary=rot_frames, mask=mask,
-                    deterministic=deterministic)
-                if collect_hidden_layer == ind + 1:
-                    # FactorCL tap: (audio, clip-stream) hiddens before the
-                    # cross-condition fusion (reference e2_tts_crossatt6.py
-                    # contrastive block at layer 1)
-                    collected = (x, text_embed)
-                x, text_embed, frames_embed = self.cross_conditions[ind](
-                    x, text_embed, frames_embed)
-
+            has_towers = text_block is not None
             layer = ind + 1
+            skip = None if layer <= cfg.depth // 2 else skips.pop()
+            # FactorCL tap: (audio, clip-stream) hiddens before the
+            # cross-condition fusion (reference e2_tts_crossatt6.py
+            # contrastive block at layer 1)
+            collect = collect_hidden_layer == layer and has_towers
+            x, text_embed, frames_embed, x_mid, col = layer_fn(
+                text_block,
+                self.frames_blocks[ind] if has_towers else None,
+                self.cross_conditions[ind] if has_towers else None,
+                self.audio_blocks[ind],
+                x, text_embed, frames_embed, skip, cond,
+                rot_audio, rot_text, rot_frames, mask, context, context_mask,
+                deterministic, collect)
             if layer <= cfg.depth // 2:
-                skips.append(x)
-                skip = None
-            else:
-                skip = skips.pop()
-
-            x = self.audio_blocks[ind](
-                x, skip, cond=cond, rotary=rot_audio, mask=mask,
-                context=context, context_mask=context_mask,
-                deterministic=deterministic)
+                skips.append(x_mid)
+            if collect:
+                collected = col
 
         assert not skips
         x = x[:, r:]

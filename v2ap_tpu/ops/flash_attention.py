@@ -112,34 +112,12 @@ def _pick_block(n: int, target: int) -> int:
     return max(b, 1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("softclamp", "scale", "block_q", "block_k", "interpret"),
-)
-def flash_attention(
-    q: jnp.ndarray,                      # (b, h, nq, d)
-    k: jnp.ndarray,                      # (b, h, nk, d)
-    v: jnp.ndarray,                      # (b, h, nk, d)
-    kv_mask: jnp.ndarray | None = None,  # (b, nk)
-    *,
-    softclamp: float | None = None,
-    scale: float | None = None,
-    block_q: int = 1024,
-    block_k: int = 1024,
-    interpret: bool = False,
-) -> jnp.ndarray:
+def _flash_impl(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
+                interpret):
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    scale = scale if scale is not None else d ** -0.5
-
     bq = _pick_block(nq, block_q)
     bk = _pick_block(nk, block_k)
-
-    if kv_mask is None:
-        mask_arr = jnp.ones((b, nk), jnp.int32)
-    else:
-        mask_arr = kv_mask.astype(jnp.int32)
-
     grid = (b * h, nq // bq)
 
     kernel = functools.partial(
@@ -163,6 +141,69 @@ def flash_attention(
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(q, k, v, mask_arr)
+
+
+# Training differentiates through the attention op; Pallas kernels are not
+# reverse-differentiable (Mosaic cannot lower the transposed fori_loop), so
+# the backward pass recomputes attention with the XLA reference math and
+# takes its VJP — the standard flash-attention recompute trade: O(n) memory
+# forward, one extra attention evaluation in backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_ad(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
+              interpret):
+    return _flash_impl(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
+                       interpret)
+
+
+def _flash_ad_fwd(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
+                  interpret):
+    out = _flash_impl(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
+                      interpret)
+    return out, (q, k, v, mask_arr)
+
+
+def _flash_ad_bwd(softclamp, scale, block_q, block_k, interpret, res, g):
+    q, k, v, mask_arr = res
+
+    def ref(q_, k_, v_):
+        return attention_reference(q_, k_, v_, mask_arr != 0,
+                                   softclamp=softclamp, scale=scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softclamp", "scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jnp.ndarray,                      # (b, h, nq, d)
+    k: jnp.ndarray,                      # (b, h, nk, d)
+    v: jnp.ndarray,                      # (b, h, nk, d)
+    kv_mask: jnp.ndarray | None = None,  # (b, nk)
+    *,
+    softclamp: float | None = None,
+    scale: float | None = None,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+
+    if kv_mask is None:
+        mask_arr = jnp.ones((b, nk), jnp.int32)
+    else:
+        mask_arr = kv_mask.astype(jnp.int32)
+
+    return _flash_ad(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
+                     interpret)
 
 
 def use_pallas_default() -> bool:
