@@ -163,6 +163,9 @@ def _flash_ad_fwd(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
 
 
 def _flash_ad_bwd(softclamp, scale, block_q, block_k, interpret, res, g):
+    # f32 reference math: measured FASTER than a bf16-matmul variant on v5e
+    # (469 vs 511 ms full train step — XLA fuses the f32 softmax chain
+    # better than the cast-heavy bf16 one) and gradient-exact vs the oracle.
     q, k, v, mask_arr = res
 
     def ref(q_, k_, v_):
