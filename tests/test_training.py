@@ -260,3 +260,33 @@ def test_contrastive_train_step_variant6():
     loss2, _, loss_con2 = step(model, fcl, opt, fopt, jax.random.key(1),
                                make_batch(cfg, b=4))
     assert float(loss_con2) == 0.0
+
+
+def test_mu_bf16_trains_and_halves_moment_dtype():
+    """TrainConfig.mu_bf16: first moment stored bf16, loss still decreases."""
+    import jax
+    import jax.numpy as jnp
+    from v2ap_tpu import config as cfglib
+    from v2ap_tpu.config import TrainConfig
+    from v2ap_tpu.models.cfm import CFM
+    from v2ap_tpu.training import Trainer
+    from v2ap_tpu.utils.jitting import create_model
+
+    cfg = cfglib.tiny_test()
+    model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
+                                     with_video2roll=False, rngs=nnx.Rngs(0)))
+    tr = Trainer(model, TrainConfig(learning_rate=1e-3, warmup_steps=1,
+                                    decay_steps=100, mu_bf16=True))
+    rng = np.random.default_rng(0)
+    r = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    batch = {"latents": r(2, 96, cfg.model.num_channels),
+             "lens": jnp.full((2,), 96, jnp.int32),
+             "text_embed": r(2, 96, cfg.model.dim_text),
+             "context": r(2, 8, cfg.model.dim_context),
+             "context_mask": jnp.ones((2, 8), bool)}
+    losses = [float(tr.train_step(jax.random.key(i), batch)[0])
+              for i in range(6)]
+    assert losses[-1] < losses[0]
+    mus = [x for x in jax.tree.leaves(nnx.state(tr.optimizer))
+           if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment slabs found in optimizer state"

@@ -150,6 +150,7 @@ class TrainConfig:
     epochs: int = 10
     save_step: int = 2000
     midi_loss_weight: float = 10.0             # reference e2_tts_crossatt3.py:2574
+    mu_bf16: bool = False                      # bf16 AdamW first moment (saves ~1.5 GB at full size)
     ema_decay: float = 0.999
     use_ema: bool = False
     # DPO preference optimization (reference: e2_tts_crossatt3.py:2504-2566)

@@ -136,7 +136,9 @@ def shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
         for ws in slices:
             img[:, hs, ws, :] = count
             count += 1
-    mw = np.asarray(window_partition(jnp.asarray(img), window))[..., 0]
+    # pure numpy (window_partition is generic reshape/transpose): routing the
+    # constant through jnp breaks traced construction (create_model)
+    mw = window_partition(img, window)[..., 0]
     diff = mw[:, None, :] - mw[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 

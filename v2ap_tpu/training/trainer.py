@@ -38,9 +38,14 @@ def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
 
 
 def make_tx(cfg: TrainConfig) -> optax.GradientTransformation:
+    import jax.numpy as jnp
+
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(make_lr_schedule(cfg), b1=0.9, b2=0.999, weight_decay=0.01),
+        optax.adamw(make_lr_schedule(cfg), b1=0.9, b2=0.999, weight_decay=0.01,
+                    # bf16 first moment (sign-scale info only) halves a large
+                    # slab of optimizer HBM at full size; f32 by default
+                    mu_dtype=jnp.bfloat16 if cfg.mu_bf16 else None),
     )
 
 
