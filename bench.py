@@ -104,8 +104,10 @@ def bench_hot_loop(cfg, sampler, result: dict) -> None:
     result["hot_loop_x_realtime"] = round(
         audio_seconds / float(np.median(times)), 3)
 
-    # opt-in int8 CFM core (AQT dynamic-range; latents shift ~1.6% rms vs
-    # bf16 so it is not the primary metric — see utils/quantize.py)
+    # int8 CFM core, reported as an extra key (AQT dynamic-range; latents
+    # shift ~1.6% rms vs bf16 so it is never the primary metric — see
+    # utils/quantize.py). Measured by default; V2AP_BENCH_INT8=0 skips the
+    # extra compile when iterating on the bf16 numbers.
     if os.environ.get("V2AP_BENCH_INT8", "1") == "1":
         try:
             from v2ap_tpu.utils.quantize import quantize_linears_int8

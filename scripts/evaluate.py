@@ -85,18 +85,31 @@ def main() -> int:
             ref_paths = sorted(glob.glob(os.path.join(args.ref_dir, "*.wav")))
             gen = [read_wav(p)[0][0] for p in gen_paths]
             ref = [read_wav(p)[0][0] for p in ref_paths]
-            ref_by_name = {os.path.basename(p): w
-                           for p, w in zip(ref_paths, ref)}
-            pairs = [(ref_by_name[os.path.basename(p)], w)
-                     for p, w in zip(gen_paths, gen)
-                     if os.path.basename(p) in ref_by_name]
-            if pairs and len(pairs) == len(gen):   # fully paired corpora
-                summary.update(metrics.audioldm_eval_metrics(
-                    [r for r, _ in pairs], [g for _, g in pairs],
-                    paired=True))
-            else:
-                summary.update(metrics.audioldm_eval_metrics(
-                    ref, gen, paired=False))
+            # one Cnn14 backbone pass per clip serves every metric: FAD/IS
+            # use the FULL collections (reference stats from the whole
+            # corpus), KL pairs rows by wav basename
+            import numpy as np
+            from v2ap_tpu.evaluation.pann import make_joint
+            joint = make_joint()
+
+            def run_all(wavs):
+                outs = [joint(w, 24_000) for w in wavs]
+                return (np.concatenate([np.atleast_2d(e) for e, _ in outs]),
+                        np.concatenate([np.atleast_2d(l) for _, l in outs]))
+
+            ref_emb, ref_logits = run_all(ref)
+            gen_emb, gen_logits = run_all(gen)
+            summary["fad"] = metrics.fad_from_embeddings(ref_emb, gen_emb)
+            is_mean, is_std = metrics.inception_score(gen_logits)
+            summary["is_mean"], summary["is_std"] = is_mean, is_std
+            ref_idx = {os.path.basename(p): i
+                       for i, p in enumerate(ref_paths)}
+            pair_rows = [ref_idx.get(os.path.basename(p))
+                         for p in gen_paths]
+            if gen_paths and all(i is not None for i in pair_rows):
+                r_log = ref_logits[np.asarray(pair_rows)]
+                summary["kl_softmax"] = metrics.kl_softmax(r_log, gen_logits)
+                summary["kl_sigmoid"] = metrics.kl_sigmoid(r_log, gen_logits)
         except (RuntimeError, ValueError) as exc:
             summary["fad_error"] = str(exc)
 

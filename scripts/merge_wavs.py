@@ -82,7 +82,7 @@ def cmd_mux(args) -> int:
             print(f"mux failed for {stem}: {exc}", file=sys.stderr)
             failed += 1
     print(f"muxed {done} videos ({failed} failed)")
-    return 0 if done and not failed else (0 if done else 1)
+    return 1 if failed or not done else 0
 
 
 def main(argv=None) -> int:

@@ -184,3 +184,19 @@ def test_audioldm_eval_metrics_self_contained():
                                          embedder=embed, classifier=cls)
     assert out2["fad"] > out["fad"]
     assert "kl_softmax" not in out2        # unpaired lengths -> no KL
+
+
+def test_make_joint_single_pass_consistency():
+    """make_joint shares one Cnn14: embeddings match make_embedder and the
+    logits are exactly fc_audioset(embedding)."""
+    from v2ap_tpu.evaluation.pann import make_classifier, make_joint
+    cfg = pann_tiny_test()
+    joint = make_joint(cfg)
+    embed = make_embedder(cfg)
+    cls = make_classifier(cfg)
+    wav = np.random.default_rng(0).normal(size=16_000).astype(np.float32) * 0.1
+    emb_j, log_j = joint(wav, 16_000)
+    np.testing.assert_allclose(emb_j, embed(wav, 16_000), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(log_j, cls(wav, 16_000), rtol=1e-5, atol=1e-6)
+    assert emb_j.shape == (1, cfg.embed_dim)
+    assert log_j.shape == (1, cfg.num_classes)

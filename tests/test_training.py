@@ -168,7 +168,9 @@ def test_grad_accumulation_matches_manual_average():
 
     cfg, model1 = build_model()
     _, model2 = build_model()
-    nnx.update(model2, nnx.state(model1))       # identical init
+    # identical init — COPIED, not aliased: the train step donates model2's
+    # buffers, which would invalidate model1's shared arrays
+    nnx.update(model2, jax.tree.map(jnp.copy, nnx.state(model1)))
 
     base = TrainConfig(learning_rate=1e-3, warmup_steps=1, decay_steps=100)
     step2 = make_train_step(dataclasses.replace(base, grad_accum=2))

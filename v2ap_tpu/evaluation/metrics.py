@@ -135,18 +135,39 @@ def audioldm_eval_metrics(reference_wavs: Sequence[np.ndarray],
                           paired: Optional[bool] = None) -> dict:
     """The AudioLDM-Eval metric set, self-contained: FAD (Cnn14 embeddings),
     Inception Score, and — when the collections are paired (same length, or
-    ``paired=True``) — softmax/sigmoid KL on Cnn14 tagging logits."""
-    cls = classifier or default_classifier()
-    out = {"fad": fad(reference_wavs, generated_wavs, sr, embedder=embedder)}
-    gen_logits = np.concatenate(
-        [np.atleast_2d(cls(w, sr)) for w in generated_wavs])
-    is_mean, is_std = inception_score(gen_logits)
-    out["is_mean"], out["is_std"] = is_mean, is_std
+    ``paired=True``) — softmax/sigmoid KL on Cnn14 tagging logits.
+
+    With no explicit ``embedder``/``classifier``, ONE Cnn14 runs ONE
+    backbone pass per clip (``pann.make_joint``) and serves both the
+    embedding and logit metrics."""
     if paired is None:
         paired = len(reference_wavs) == len(generated_wavs)
-    if paired:
-        ref_logits = np.concatenate(
+
+    if embedder is None and classifier is None and _EMBEDDER is None:
+        from v2ap_tpu.evaluation.pann import make_joint
+        joint = make_joint()
+
+        def run_all(wavs):
+            outs = [joint(w, sr) for w in wavs]
+            return (np.concatenate([np.atleast_2d(e) for e, _ in outs]),
+                    np.concatenate([np.atleast_2d(l) for _, l in outs]))
+
+        ref_emb, ref_logits = run_all(reference_wavs)
+        gen_emb, gen_logits = run_all(generated_wavs)
+        out = {"fad": fad_from_embeddings(ref_emb, gen_emb)}
+    else:
+        cls = classifier or default_classifier()
+        out = {"fad": fad(reference_wavs, generated_wavs, sr,
+                          embedder=embedder)}
+        gen_logits = np.concatenate(
+            [np.atleast_2d(cls(w, sr)) for w in generated_wavs])
+        ref_logits = (np.concatenate(
             [np.atleast_2d(cls(w, sr)) for w in reference_wavs])
+            if paired else None)
+
+    is_mean, is_std = inception_score(gen_logits)
+    out["is_mean"], out["is_std"] = is_mean, is_std
+    if paired:
         out["kl_softmax"] = kl_softmax(ref_logits, gen_logits)
         out["kl_sigmoid"] = kl_sigmoid(ref_logits, gen_logits)
     return out

@@ -171,12 +171,10 @@ def load_pann_from_state_dict(sd: dict, jmodel: Cnn14) -> None:
         jmodel.fc_audioset.bias[...] = arr(sd["fc_audioset.bias"])
 
 
-def make_embedder(cfg: PannConfig | None = None, weights_path: str | None = None):
-    """Build ``embed(waveform, sr) -> (n, embed_dim)`` for evaluation.fad.
-
-    ``weights_path``: optional ``Cnn14*.pth`` torch checkpoint (its ``model``
-    sub-dict is the state dict). Defaults to ``$V2AP_PANN_WEIGHTS``.
-    """
+def _build_cnn14(cfg: PannConfig | None, weights_path: str | None):
+    """Shared constructor: Cnn14 from ``weights_path`` /
+    ``$V2AP_PANN_WEIGHTS`` (its ``model`` sub-dict is the state dict), or a
+    fixed seed-0 init."""
     import os
     from v2ap_tpu.utils.jitting import create_model
 
@@ -187,39 +185,47 @@ def make_embedder(cfg: PannConfig | None = None, weights_path: str | None = None
         import torch
         ckpt = torch.load(weights_path, map_location="cpu")
         load_pann_from_state_dict(ckpt.get("model", ckpt), model)
-    fwd = nnx.jit(lambda m, w: m(w))
+    return cfg, model
 
-    def embed(waveform: np.ndarray, sr: int) -> np.ndarray:
+
+def _wrap_forward(cfg: PannConfig, model: Cnn14, method):
+    fwd = nnx.jit(method)
+
+    def run(waveform: np.ndarray, sr: int):
         from v2ap_tpu.data.audio_io import resample
         wav = np.atleast_2d(np.asarray(waveform, np.float32))
         if sr != cfg.sample_rate:
             wav = resample(wav, sr, cfg.sample_rate)
-        return np.asarray(fwd(model, jnp.asarray(wav)))
+        out = fwd(model, jnp.asarray(wav))
+        return (tuple(np.asarray(o) for o in out) if isinstance(out, tuple)
+                else np.asarray(out))
 
-    return embed
+    return run
+
+
+def make_embedder(cfg: PannConfig | None = None, weights_path: str | None = None):
+    """Build ``embed(waveform, sr) -> (n, embed_dim)`` for evaluation.fad."""
+    cfg, model = _build_cnn14(cfg, weights_path)
+    return _wrap_forward(cfg, model, lambda m, w: m(w))
 
 
 def make_classifier(cfg: PannConfig | None = None,
                     weights_path: str | None = None):
     """Build ``classify(waveform, sr) -> (n, num_classes)`` clipwise AudioSet
     logits for the IS / KL metrics (same Cnn14 checkpoint as the embedder)."""
-    import os
-    from v2ap_tpu.utils.jitting import create_model
+    cfg, model = _build_cnn14(cfg, weights_path)
+    return _wrap_forward(cfg, model, lambda m, w: m.logits(w))
 
-    cfg = cfg or pann_16k()
-    model = create_model(lambda: Cnn14(cfg, rngs=nnx.Rngs(0)))
-    weights_path = weights_path or os.environ.get("V2AP_PANN_WEIGHTS")
-    if weights_path:
-        import torch
-        ckpt = torch.load(weights_path, map_location="cpu")
-        load_pann_from_state_dict(ckpt.get("model", ckpt), model)
-    fwd = nnx.jit(lambda m, w: m.logits(w))
 
-    def classify(waveform: np.ndarray, sr: int) -> np.ndarray:
-        from v2ap_tpu.data.audio_io import resample
-        wav = np.atleast_2d(np.asarray(waveform, np.float32))
-        if sr != cfg.sample_rate:
-            wav = resample(wav, sr, cfg.sample_rate)
-        return np.asarray(fwd(model, jnp.asarray(wav)))
+def make_joint(cfg: PannConfig | None = None, weights_path: str | None = None):
+    """Build ``joint(waveform, sr) -> (embeddings, logits)`` sharing ONE
+    Cnn14 and ONE backbone pass — the logits are a single Linear past the
+    embedding, so FAD + IS + KL pipelines should use this instead of
+    separate embedder/classifier calls."""
+    cfg, model = _build_cnn14(cfg, weights_path)
 
-    return classify
+    def both(m, w):
+        emb = m(w)
+        return emb, m.fc_audioset(emb).astype(jnp.float32)
+
+    return _wrap_forward(cfg, model, both)

@@ -148,7 +148,9 @@ class Vocos(nnx.Module):
         h = self.backbone(mel)
         out = self.head(h.astype(self.dtype)).astype(jnp.float32)
         half = self.cfg.n_fft // 2 + 1
-        mag = jnp.exp(jnp.clip(out[..., :half], None, 1e2))
+        # clip the MAGNITUDE at 1e2 (Vocos: exp(x).clamp(max=1e2)) — clipping
+        # the log-magnitude instead would allow e^100 and overflow f32
+        mag = jnp.clip(jnp.exp(out[..., :half]), None, 1e2)
         phase = out[..., half:]
         spec = mag * jnp.exp(1j * phase.astype(jnp.float32))
         return istft(spec, self.cfg.n_fft, self.cfg.hop_length)

@@ -55,6 +55,12 @@ class EMA(nnx.Module):
     def __init__(self, model: nnx.Module, decay: float):
         self.decay = decay
         self.shadow = nnx.clone(model)
+        # clone shares the underlying jax.Arrays with the live model; the
+        # train step donates the model's buffers, which would invalidate the
+        # shadow's aliases on the very first step — copy EVERYTHING,
+        # including RngState key/count buffers (params alone leave the
+        # dropout streams aliased: 'f(donate(a), a)' crash under DPO)
+        nnx.update(self.shadow, jax.tree.map(jnp.copy, nnx.state(model)))
 
     def update(self, model: nnx.Module) -> None:
         d = self.decay
@@ -93,7 +99,13 @@ def make_train_step(train_cfg: TrainConfig):
 
     With ``grad_accum > 1`` the batch splits into micro-batches along axis 0
     and gradients average inside one jit (the reference used
-    ``accelerator.accumulate``, trainer...3.py:379)."""
+    ``accelerator.accumulate``, trainer...3.py:379).
+
+    The step DONATES the model/optimizer/fcl buffers (full-size f32 AdamW
+    state cannot be double-buffered on a 16 GB chip). Any externally-held
+    alias of the params — e.g. a second module updated with this model's
+    un-copied ``nnx.state`` — is invalidated by the first step; copy with
+    ``jax.tree.map(jnp.copy, ...)`` first (EMA does this internally)."""
     accum = max(1, train_cfg.grad_accum)
     use_dpo = train_cfg.dpo
     use_con = train_cfg.contrastive
