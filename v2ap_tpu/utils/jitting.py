@@ -64,6 +64,43 @@ def create_model(factory: Callable[[], M]) -> M:
     return nnx.jit(factory)()
 
 
+def create_model_zeros(factory: Callable[[], M]) -> M:
+    """Structure-only construction: the factory traces under
+    ``nnx.eval_shape`` (no init compute or compile at all) and params
+    materialise as zeros. For converter shape-audits and weight-loading
+    flows where every array is overwritten anyway — building CLIP ViT-bigG
+    this way takes seconds instead of the ~15 min a full-size jitted random
+    init costs on CPU. Do NOT run a model built this way without loading
+    real weights."""
+    import jax.numpy as jnp
+    from jax import dtypes as jax_dtypes
+
+    model = nnx.eval_shape(factory)
+    state = nnx.state(model)
+
+    def materialise(x):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            if jax_dtypes.issubdtype(x.dtype, jax_dtypes.prng_key):
+                keys = jax.random.split(jax.random.key(0),
+                                        max(1, int(np_prod(x.shape))))
+                return keys.reshape(x.shape) if x.shape else keys[0]
+            # numpy calloc + device_put: jnp.zeros would eagerly compile a
+            # tiny program per distinct shape (minutes across bigG's params)
+            import numpy as np
+            return jax.device_put(np.zeros(x.shape, x.dtype))
+        return x
+
+    nnx.update(model, jax.tree.map(materialise, state))
+    return model
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
 def cast_params(model: nnx.Module, dtype) -> None:
     """Cast every float Param of an nnx model in place (frozen encoder stacks
     are stored bf16 on device: CLIP ViT-bigG alone is ~7 GB in f32)."""
