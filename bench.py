@@ -127,7 +127,7 @@ def bench_hot_loop(cfg, sampler, result: dict) -> None:
                               ctx_mask)
             _ = np.asarray(wav[:, :8])
             times_i8 = []
-            for i in range(2):
+            for i in range(3):
                 t0 = time.perf_counter()
                 wav = generate_i8(state_i8, cstate, x0 + float(i + 1) * 1e-6,
                                   text, frames, ctx, ctx_mask)
