@@ -94,6 +94,87 @@ def test_post_missing_video_is_400(served_pipeline):
     assert exc.value.code == 400
 
 
+def test_request_batcher_coalesces_concurrent():
+    """Concurrent compatible requests share ONE generate_batch call;
+    incompatible ones (different steps) get their own."""
+    import threading
+    import time
+    from v2ap_tpu.serving.batcher import RequestBatcher
+
+    calls = []
+
+    class FakePipeline:
+        def generate_batch(self, paths, prompts, *, duration_s, steps,
+                           piano, seed):
+            calls.append((len(paths), steps))
+            time.sleep(0.05)
+            return np.zeros((len(paths), 100), np.float32), 24_000
+
+    b = RequestBatcher(FakePipeline(), max_batch=8, window_ms=200.0)
+    try:
+        futs = [b.submit(None, f"p{i}", steps=4, duration_s=2.0)
+                for i in range(3)]
+        other = b.submit(None, "q", steps=8, duration_s=2.0)
+        for f in futs + [other]:
+            wav, sr = f.result(timeout=30)
+            assert sr == 24_000 and wav.shape == (100,)
+    finally:
+        b.close()
+    sizes = sorted(calls)
+    assert (1, 8) in sizes                 # incompatible steps: own call
+    assert sum(n for n, s in calls if s == 4) == 3
+    assert len([c for c in calls if c[1] == 4]) <= 2   # coalesced (usually 1)
+
+
+def test_request_batcher_propagates_errors():
+    from v2ap_tpu.serving.batcher import RequestBatcher
+
+    class Broken:
+        def generate_batch(self, *a, **k):
+            raise RuntimeError("boom")
+
+    b = RequestBatcher(Broken(), max_batch=4, window_ms=10.0)
+    try:
+        fut = b.submit(None, "x", steps=2, duration_s=1.0)
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=30)
+    finally:
+        b.close()
+
+
+def test_concurrent_posts_both_succeed(served_pipeline, tmp_path):
+    """Two simultaneous uploads ride the micro-batcher (server default) and
+    both come back as audio."""
+    import threading
+    _, server = served_pipeline
+    port = server.server_address[1]
+    video = str(tmp_path / "cc.mp4")
+    if not write_synthetic_video(video, frames=6, fps=4):
+        pytest.skip("cv2 writer unavailable")
+    with open(video, "rb") as f:
+        payload = f.read()
+
+    results = {}
+
+    def post(tag):
+        body, ctype = _multipart({"prompt": tag, "steps": "2"},
+                                 {"video": ("in.mp4", payload)})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v2a", data=body,
+            headers={"Content-Type": ctype}, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            results[tag] = r.read()
+
+    threads = [threading.Thread(target=post, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert set(results) == {"a", "b"}
+    for wav_bytes in results.values():
+        assert wav_bytes[:4] == b"RIFF" and len(wav_bytes) > 24_000
+
+
 # ------------------------------------------------------------- resilience
 
 def test_grad_guard_skips_nan():

@@ -57,6 +57,21 @@ def read_video_frames(path: str, max_frames: Optional[int] = None
         return None, None
 
 
+def probe_duration(path: str) -> Optional[float]:
+    """Container-metadata duration (no frame decode); None when unknown."""
+    try:
+        import cv2
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            return None
+        fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+        n = cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0.0
+        cap.release()
+        return float(n / fps) if fps > 0 and n > 0 else None
+    except Exception:
+        return None
+
+
 def piano_preprocess(frames: np.ndarray, width: int = 900, height: int = 100
                      ) -> np.ndarray:
     """RGB frames (t, H, W, 3) -> grayscale keyboard strips (t, height, width)

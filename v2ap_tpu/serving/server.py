@@ -10,8 +10,12 @@ a stdlib ThreadingHTTPServer with
                       ``steps`` fields) -> generated WAV (or muxed MP4 when
                       a muxer is available)
 
-The pipeline is owned by the server process; device work is serialised
-through a lock (one TPU program at a time), uploads decode host-side.
+The pipeline is owned by the server process; uploads decode host-side.
+Concurrent requests coalesce through a micro-batching scheduler
+(``serving/batcher.py``): compatible requests arriving within the batching
+window share ONE ``generate_batch`` call on the CFM's near-free batch axis.
+With batching disabled (``serve(..., batch_requests=False)``), device work
+serialises through a lock instead.
 """
 
 from __future__ import annotations
@@ -40,6 +44,7 @@ _FORM = """<!doctype html>
 
 class V2APHandler(BaseHTTPRequestHandler):
     pipeline = None
+    batcher = None                    # RequestBatcher when batching is on
     lock = threading.Lock()
 
     def _send(self, code: int, body: bytes, ctype: str = "text/html"):
@@ -92,9 +97,14 @@ class V2APHandler(BaseHTTPRequestHandler):
                 video_path = os.path.join(tmp, "input.mp4")
                 with open(video_path, "wb") as f:
                     f.write(payload)
-                with self.lock:
-                    wav, sr = self.pipeline.generate(
-                        video_path, prompt, steps=steps, piano=piano)
+                if self.batcher is not None:
+                    wav, sr = self.batcher.submit(
+                        video_path, prompt, steps=steps,
+                        piano=piano).result(timeout=600)
+                else:
+                    with self.lock:
+                        wav, sr = self.pipeline.generate(
+                            video_path, prompt, steps=steps, piano=piano)
                 from v2ap_tpu.data.audio_io import write_wav
                 out_wav = os.path.join(tmp, "out.wav")
                 write_wav(out_wav, wav, sr)
@@ -110,9 +120,18 @@ class V2APHandler(BaseHTTPRequestHandler):
 
 
 def serve(pipeline, host: str = "127.0.0.1", port: int = 7860,
-          block: bool = True) -> ThreadingHTTPServer:
-    handler = type("BoundHandler", (V2APHandler,), {"pipeline": pipeline})
+          block: bool = True, batch_requests: bool = True,
+          max_batch: int = 8, window_ms: float = 50.0
+          ) -> ThreadingHTTPServer:
+    batcher = None
+    if batch_requests:
+        from v2ap_tpu.serving.batcher import RequestBatcher
+        batcher = RequestBatcher(pipeline, max_batch=max_batch,
+                                 window_ms=window_ms)
+    handler = type("BoundHandler", (V2APHandler,),
+                   {"pipeline": pipeline, "batcher": batcher})
     server = ThreadingHTTPServer((host, port), handler)
+    server.batcher = batcher          # so shutdown paths can close it
     if block:
         print(f"v2ap-tpu serving on http://{host}:{port}")
         server.serve_forever()
