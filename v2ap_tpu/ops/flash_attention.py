@@ -62,27 +62,24 @@ def attention_reference(
 # Pallas kernel
 # --------------------------------------------------------------------------- #
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                  scale: float, softclamp: float | None, block_k: int,
-                  heads: int):
-    # q_ref: (1, 1, bq, d); k_ref/v_ref: (1, 1, nk, d)
-    # mask_ref: full (b, nk) array in VMEM (un-blocked: TPU requires the last
-    # two block dims be 8/128-aligned OR equal to the array dims)
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # (bq, d)
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _online_softmax(q, k_ref, v_ref, mask_ref, batch_idx, block_k,
+                    softclamp):
+    """Shared forward loop: q is the pre-scaled (bq, d) f32 block; returns
+    (acc, l, m) of the online softmax over all K blocks."""
     nk = k_ref.shape[2]
     bq = q.shape[0]
     num_kb = nk // block_k
-    batch_idx = pl.program_id(0) // heads
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
         ks = k_ref[0, 0, pl.ds(i * block_k, block_k), :]  # (bk, d)
         vs = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, ks.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                 # (bq, bk)
+        s = _dot(q, ks.astype(jnp.float32), ((1,), (1,)))  # (bq, bk)
         if softclamp is not None:
             s = jnp.tanh(s / softclamp) * softclamp
         mk = mask_ref[batch_idx, pl.ds(i * block_k, block_k)]  # (bk,) int32
@@ -91,18 +88,126 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         alpha = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur[:, None])
         l_cur = l_prev * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, vs.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        acc = acc * alpha[:, None] + _dot(p, vs.astype(jnp.float32),
+                                          ((1,), (0,)))
         return m_cur, l_cur, acc
 
     m0 = jnp.full((bq,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
     acc0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
-    _, l, acc = lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    m, l, acc = lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    return acc, l, m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                  scale: float, softclamp: float | None, block_k: int,
+                  heads: int):
+    # q_ref: (1, 1, bq, d); k_ref/v_ref: (1, 1, nk, d)
+    # mask_ref: full (b, nk) array in VMEM (un-blocked: TPU requires the last
+    # two block dims be 8/128-aligned OR equal to the array dims)
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # (bq, d)
+    batch_idx = pl.program_id(0) // heads
+    acc, l, _ = _online_softmax(q, k_ref, v_ref, mask_ref, batch_idx,
+                                block_k, softclamp)
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-20)[:, None]).astype(o_ref.dtype)
+
+
+def _flash_kernel_lse(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                      scale: float, softclamp: float | None, block_k: int,
+                      heads: int):
+    """Forward that also writes the log-sum-exp per query row — the
+    backward kernels reconstruct p = exp(s - lse) from it. lse shaped
+    (b, h, nq, 1): trailing size-1 dim satisfies the TPU block-alignment
+    rule (block dim == array dim)."""
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    batch_idx = pl.program_id(0) // heads
+    acc, l, m = _online_softmax(q, k_ref, v_ref, mask_ref, batch_idx,
+                                block_k, softclamp)
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-20)[:, None]).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, None]
+
+
+def _recompute_p(qs, k_blk, mk, lse_rows, softclamp):
+    """(p, deriv): softmax probs from saved lse + the softclamp chain-rule
+    factor d(clamped)/d(raw) = 1 - (clamped/c)^2. qs arrives pre-scaled."""
+    s = _dot(qs, k_blk, ((1,), (1,)))                    # (bq, bk)
+    if softclamp is not None:
+        s = jnp.tanh(s / softclamp) * softclamp
+        deriv = 1.0 - (s / softclamp) ** 2
+    else:
+        deriv = jnp.ones_like(s)
+    s = jnp.where(mk[None, :] != 0, s, NEG_INF)
+    p = jnp.exp(s - lse_rows[:, None])
+    return p, deriv
+
+
+def _flash_bwd_dq_kernel(q_ref, do_ref, k_ref, v_ref, lse_ref, dcap_ref,
+                         mask_ref, dq_ref, *, scale: float,
+                         softclamp: float | None, block_k: int, heads: int):
+    # blocks: q/do/dq (1,1,bq,d); k/v full (1,1,nk,d); lse/dcap full
+    # (b*h, nq) — 2D so the trailing dim tiles into VMEM lanes (a trailing
+    # size-1 dim would pad to 128 lanes: 25 MB of scoped VMEM for nothing);
+    # mask full (b,nk)
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    batch_idx = bh // heads
+    bq = q_ref.shape[2]
+    nk = k_ref.shape[2]
+    num_kb = nk // block_k
+
+    qs = q_ref[0, 0].astype(jnp.float32) * scale         # (bq, d)
+    dos = do_ref[0, 0].astype(jnp.float32)
+    lse_rows = lse_ref[bh, pl.ds(qi * bq, bq)]
+    d_rows = dcap_ref[bh, pl.ds(qi * bq, bq)]
+
+    def body(i, acc):
+        ks = k_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        vs = v_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        mk = mask_ref[batch_idx, pl.ds(i * block_k, block_k)]
+        p, deriv = _recompute_p(qs, ks, mk, lse_rows, softclamp)
+        dp = _dot(dos, vs, ((1,), (1,)))                 # (bq, bk)
+        ds = p * (dp - d_rows[:, None]) * deriv
+        return acc + _dot(ds, ks, ((1,), (0,)))          # (bq, d)
+
+    acc0 = jnp.zeros((bq, q_ref.shape[3]), jnp.float32)
+    dq = lax.fori_loop(0, num_kb, body, acc0) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dcap_ref,
+                          mask_ref, dk_ref, dv_ref, *, scale: float,
+                          softclamp: float | None, block_q: int, heads: int):
+    # blocks: k/v/dk/dv (1,1,bk,d); q/do full (1,1,nq,d); lse/dcap full
+    # (b*h, nq); mask full (b,nk)
+    bh = pl.program_id(0)
+    ki = pl.program_id(1)
+    batch_idx = bh // heads
+    bk = k_ref.shape[2]
+    nq = q_ref.shape[2]
+    num_qb = nq // block_q
+
+    ks = k_ref[0, 0].astype(jnp.float32)                 # (bk, d)
+    vs = v_ref[0, 0].astype(jnp.float32)
+    mk = mask_ref[batch_idx, pl.ds(ki * bk, bk)]
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        qs = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(
+            jnp.float32) * scale                          # (bq, d)
+        dos = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse_rows = lse_ref[bh, pl.ds(i * block_q, block_q)]
+        d_rows = dcap_ref[bh, pl.ds(i * block_q, block_q)]
+        p, deriv = _recompute_p(qs, ks, mk, lse_rows, softclamp)
+        dv_acc = dv_acc + _dot(p, dos, ((0,), (0,)))     # (bk, d)
+        dp = _dot(dos, vs, ((1,), (1,)))                 # (bq, bk)
+        ds = p * (dp - d_rows[:, None]) * deriv
+        dk_acc = dk_acc + _dot(ds, qs, ((0,), (0,)))     # (bk, d): ds^T @ qs
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((bk, k_ref.shape[3]), jnp.float32)
+    dk, dv = lax.fori_loop(0, num_qb, body, (z, z))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
 def _pick_block(n: int, target: int) -> int:
@@ -143,11 +248,99 @@ def _flash_impl(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
     )(q, k, v, mask_arr)
 
 
-# Training differentiates through the attention op; Pallas kernels are not
-# reverse-differentiable (Mosaic cannot lower the transposed fori_loop), so
-# the backward pass recomputes attention with the XLA reference math and
-# takes its VJP — the standard flash-attention recompute trade: O(n) memory
-# forward, one extra attention evaluation in backward.
+def _flash_fwd_lse_impl(q, k, v, mask_arr, softclamp, scale, block_q,
+                        block_k, interpret):
+    """Forward returning (out, lse (b,h,nq,1)) — the residuals the Pallas
+    backward kernels need."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    bq = _pick_block(nq, block_q)
+    bk = _pick_block(nk, block_k)
+    kernel = functools.partial(
+        _flash_kernel_lse, scale=scale, softclamp=softclamp, block_k=bk,
+        heads=h)
+    blk = lambda bh, qi: (bh // h, bh % h, qi, 0)
+    full = lambda bh, qi: (bh // h, bh % h, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32)],
+        grid=(b * h, nq // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, nk), lambda bh, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, bq, d), blk, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, bq, 1), blk, memory_space=pltpu.VMEM)],
+        interpret=interpret,
+    )(q, k, v, mask_arr)
+
+
+def _flash_bwd_impl(q, k, v, mask_arr, out, lse, g, softclamp, scale,
+                    block_q, block_k, interpret):
+    """(dq, dk, dv) via the two Pallas backward kernels (FlashAttention
+    backward: p recomputed from lse, D = rowsum(dO*O))."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    # smaller blocks than forward: the backward body holds ~5 (bq, bk) f32
+    # temporaries (s, deriv, p, dp, ds) — 768-row blocks exceed the 16 MB
+    # scoped-VMEM limit (24 MB); 256x512 keeps the stack ~2.5 MB
+    bq = _pick_block(nq, min(block_q, 256))
+    bk = _pick_block(nk, min(block_k, 512))
+    dcap = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                   axis=-1)                              # (b, h, nq)
+    dcap2 = dcap.reshape(b * h, nq)
+    lse2 = lse.reshape(b * h, nq)
+
+    qblk = lambda bh, qi: (bh // h, bh % h, qi, 0)
+    kblk = lambda bh, ki: (bh // h, bh % h, ki, 0)
+    full4 = lambda bh, i: (bh // h, bh % h, 0, 0)
+    mspec = pl.BlockSpec((b, nk), lambda bh, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((b * h, nq), lambda bh, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale,
+                          softclamp=softclamp, block_k=bk, heads=h),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+        grid=(b * h, nq // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, d), full4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, d), full4, memory_space=pltpu.VMEM),
+            rowspec, rowspec, mspec,
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), qblk, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, g, k, v, lse2, dcap2, mask_arr)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale,
+                          softclamp=softclamp, block_q=bq, heads=h),
+        out_shape=[jax.ShapeDtypeStruct((b, h, nk, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, nk, d), v.dtype)],
+        grid=(b * h, nk // bk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bk, d), kblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), kblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nq, d), full4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nq, d), full4, memory_space=pltpu.VMEM),
+            rowspec, rowspec, mspec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, d), kblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), kblk, memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(k, v, q, g, lse2, dcap2, mask_arr)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _flash_ad(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
               interpret):
@@ -157,23 +350,25 @@ def _flash_ad(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
 
 def _flash_ad_fwd(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
                   interpret):
-    out = _flash_impl(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
-                      interpret)
-    return out, (q, k, v, mask_arr)
+    out, lse = _flash_fwd_lse_impl(q, k, v, mask_arr, softclamp, scale,
+                                   block_q, block_k, interpret)
+    return out, (q, k, v, mask_arr, out, lse)
 
 
 def _flash_ad_bwd(softclamp, scale, block_q, block_k, interpret, res, g):
-    # f32 reference math: measured FASTER than a bf16-matmul variant on v5e
-    # (469 vs 511 ms full train step — XLA fuses the f32 softmax chain
-    # better than the cast-heavy bf16 one) and gradient-exact vs the oracle.
-    q, k, v, mask_arr = res
+    q, k, v, mask_arr, out, lse = res
+    import os
+    if os.environ.get("V2AP_FLASH_BWD", "pallas") == "xla":
+        # fallback: recompute with the XLA reference math and take its VJP
+        def ref(q_, k_, v_):
+            return attention_reference(q_, k_, v_, mask_arr != 0,
+                                       softclamp=softclamp, scale=scale)
 
-    def ref(q_, k_, v_):
-        return attention_reference(q_, k_, v_, mask_arr != 0,
-                                   softclamp=softclamp, scale=scale)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+        _, vjp = jax.vjp(ref, q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+    dq, dk, dv = _flash_bwd_impl(q, k, v, mask_arr, out, lse, g, softclamp,
+                                 scale, block_q, block_k, interpret)
     return dq, dk, dv, None
 
 
