@@ -287,9 +287,11 @@ def _flash_bwd_impl(q, k, v, mask_arr, out, lse, g, softclamp, scale,
     nk = k.shape[2]
     # smaller blocks than forward: the backward body holds ~5 (bq, bk) f32
     # temporaries (s, deriv, p, dp, ds) — 768-row blocks exceed the 16 MB
-    # scoped-VMEM limit (24 MB); 256x512 keeps the stack ~2.5 MB
-    bq = _pick_block(nq, min(block_q, 256))
-    bk = _pick_block(nk, min(block_k, 512))
+    # scoped-VMEM limit (24 MB). 384 divides the 768-frame serving/training
+    # bucket exactly (512 would degrade to 256 via _pick_block) and keeps
+    # the stack ~3 MB.
+    bq = _pick_block(nq, min(block_q, 384))
+    bk = _pick_block(nk, min(block_k, 384))
     dcap = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                    axis=-1)                              # (b, h, nq)
     dcap2 = dcap.reshape(b * h, nq)
