@@ -115,6 +115,39 @@ def test_flash_attention_gradients_match_reference(rng):
         np.testing.assert_allclose(a, b_, rtol=5e-4, atol=5e-4)
 
 
+def test_flash_attention_fully_masked_row_gradients(rng):
+    """Regression: a batch element whose kv mask is all-False stores
+    lse ~ -1e30; the backward's p = exp(s - lse) used to cancel to p = 1 for
+    every key, silently inflating gradients ~70x. Masked probabilities are
+    now zeroed explicitly, so the masked element contributes exactly zero
+    gradient and the unmasked element matches the reference VJP."""
+    b, h, n, d = 2, 2, 128, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    mask = jnp.stack([jnp.ones((n,), bool), jnp.zeros((n,), bool)])
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, mask, softclamp=50.0,
+                              block_q=128, block_k=128, interpret=True)
+        return (out * out).sum()
+
+    dq, dk, dv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g in (dq, dk, dv):
+        assert np.all(np.isfinite(np.asarray(g)))
+        np.testing.assert_allclose(np.asarray(g[1]), 0.0, atol=1e-6)
+
+    def loss_ref(q, k, v):
+        out = attention_reference(q[:1], k[:1], v[:1], mask[:1],
+                                  softclamp=50.0)
+        return (out * out).sum()
+
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(dq[0], rq[0], rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(dk[0], rk[0], rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(dv[0], rv[0], rtol=5e-4, atol=5e-4)
+
+
 def test_attention_module_self_and_cross(rng):
     self_attn = Attention(32, heads=2, dim_head=16, use_pallas=False,
                           rngs=nnx.Rngs(0))

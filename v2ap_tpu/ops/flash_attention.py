@@ -23,6 +23,7 @@ in this framework are bucketed to multiples of 128 anyway).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -129,15 +130,21 @@ def _flash_kernel_lse(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
 
 def _recompute_p(qs, k_blk, mk, lse_rows, softclamp):
     """(p, deriv): softmax probs from saved lse + the softclamp chain-rule
-    factor d(clamped)/d(raw) = 1 - (clamped/c)^2. qs arrives pre-scaled."""
+    factor d(clamped)/d(raw) = 1 - (clamped/c)^2. qs arrives pre-scaled.
+
+    Masked probabilities are zeroed explicitly rather than relying on
+    exp(NEG_INF - lse): for a fully-masked kv row the stored lse is itself
+    ~NEG_INF and the terms cancel in f32, which would yield p = 1 for every
+    key and silently corrupt dq/dk/dv. Zeroing also makes fully-masked rows
+    contribute exactly zero gradient."""
     s = _dot(qs, k_blk, ((1,), (1,)))                    # (bq, bk)
     if softclamp is not None:
         s = jnp.tanh(s / softclamp) * softclamp
         deriv = 1.0 - (s / softclamp) ** 2
     else:
         deriv = jnp.ones_like(s)
-    s = jnp.where(mk[None, :] != 0, s, NEG_INF)
     p = jnp.exp(s - lse_rows[:, None])
+    p = jnp.where(mk[None, :] != 0, p, 0.0)
     return p, deriv
 
 
@@ -343,24 +350,24 @@ def _flash_bwd_impl(q, k, v, mask_arr, out, lse, g, softclamp, scale,
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _flash_ad(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
-              interpret):
+              interpret, bwd_mode):
     return _flash_impl(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
                        interpret)
 
 
 def _flash_ad_fwd(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
-                  interpret):
+                  interpret, bwd_mode):
     out, lse = _flash_fwd_lse_impl(q, k, v, mask_arr, softclamp, scale,
                                    block_q, block_k, interpret)
     return out, (q, k, v, mask_arr, out, lse)
 
 
-def _flash_ad_bwd(softclamp, scale, block_q, block_k, interpret, res, g):
+def _flash_ad_bwd(softclamp, scale, block_q, block_k, interpret, bwd_mode,
+                  res, g):
     q, k, v, mask_arr, out, lse = res
-    import os
-    if os.environ.get("V2AP_FLASH_BWD", "pallas") == "xla":
+    if bwd_mode == "xla":
         # fallback: recompute with the XLA reference math and take its VJP
         def ref(q_, k_, v_):
             return attention_reference(q_, k_, v_, mask_arr != 0,
@@ -379,8 +386,15 @@ _flash_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softclamp", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("softclamp", "scale", "block_q", "block_k", "interpret",
+                     "bwd_mode"),
 )
+def _flash_jit(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
+               interpret, bwd_mode):
+    return _flash_ad(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
+                     interpret, bwd_mode)
+
+
 def flash_attention(
     q: jnp.ndarray,                      # (b, h, nq, d)
     k: jnp.ndarray,                      # (b, h, nk, d)
@@ -402,8 +416,12 @@ def flash_attention(
     else:
         mask_arr = kv_mask.astype(jnp.int32)
 
-    return _flash_ad(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
-                     interpret)
+    # Read the backward-path selector once per call, outside any trace, and
+    # pass it as a static arg so it participates in the jit cache key
+    # (flipping the env var after a compile takes effect on the next call).
+    bwd_mode = os.environ.get("V2AP_FLASH_BWD", "pallas")
+    return _flash_jit(q, k, v, mask_arr, softclamp, scale, block_q, block_k,
+                      interpret, bwd_mode)
 
 
 def use_pallas_default() -> bool:

@@ -54,11 +54,20 @@ class RequestBatcher:
     def submit(self, video_path: Optional[str], prompt: str, *,
                steps: int = 25, piano: bool = False,
                duration_s: Optional[float] = None) -> Future:
-        from v2ap_tpu.data.video_io import probe_duration
+        from v2ap_tpu.data.video_io import probe_duration, read_video_frames
 
         if duration_s is None:
-            dur = (probe_duration(video_path) if video_path else None) or 10.0
-            duration_s = min(dur, self.max_duration_s)
+            dur = probe_duration(video_path) if video_path else None
+            if dur is None and video_path:
+                # Metadata probe failed (missing/corrupt container header);
+                # fall back to the same decoded-stream duration the unbatched
+                # path uses rather than silently truncating to 10 s.
+                import logging
+                logging.getLogger(__name__).warning(
+                    "duration probe failed for %s; decoding stream",
+                    video_path)
+                _, dur = read_video_frames(video_path)
+            duration_s = min(dur or 10.0, self.max_duration_s)
         fut: Future = Future()
         self._q.put(_Request(video_path, prompt, int(steps), bool(piano),
                              round(float(duration_s), 1), fut))
@@ -68,6 +77,19 @@ class RequestBatcher:
         self._stop = True
         self._q.put(None)
         self._thread.join(timeout=5.0)
+        self._drain_pending(RuntimeError("RequestBatcher closed"))
+
+    def _drain_pending(self, exc: Exception) -> None:
+        """Fail every request still sitting in the queue (including leftovers
+        re-queued by _collect) so HTTP handler threads don't block on the
+        full result timeout during shutdown."""
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if r is not None and not r.future.done():
+                r.future.set_exception(exc)
 
     @staticmethod
     def _key(r: _Request):
@@ -116,3 +138,4 @@ class RequestBatcher:
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(exc)
+        self._drain_pending(RuntimeError("RequestBatcher worker exited"))
