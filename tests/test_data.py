@@ -156,3 +156,79 @@ def test_piano_preprocess_shape():
     out = piano_preprocess(frames)
     assert out.shape == (3, 100, 900)
     assert out.dtype == np.uint8        # ships/caches uint8; /255 on device
+
+
+# -------------------------------------------------------------- DPO pairing
+
+def test_pair_preferences_scp(tmp_path):
+    """a*/b* same-directory files fold into winner samples carrying
+    pair_path; unpaired files pass through (reference pair indexing:
+    trainer_multigpus_alldatas3.py:1316-1328)."""
+    from v2ap_tpu.data.manifests import pair_preferences
+
+    for name in ["a_clip1.wav", "b_clip1.wav", "a_clip2.wav", "plain.wav"]:
+        make_wav(tmp_path, name, seconds=0.2)
+    scp = tmp_path / "pairs.scp"
+    scp.write_text("".join(f"{tmp_path / n}\tcap {n}\n" for n in
+                           ["a_clip1.wav", "b_clip1.wav", "a_clip2.wav",
+                            "plain.wav"]))
+    spec = CorpusSpec("pairs", str(scp), preference_pairs=True)
+    samples = load_corpus(spec)
+    paired = [s for s in samples if s.pair_path]
+    unpaired = [s for s in samples if not s.pair_path]
+    assert len(paired) == 1
+    assert os.path.basename(paired[0].path) == "a_clip1.wav"
+    assert os.path.basename(paired[0].pair_path) == "b_clip1.wav"
+    # a_clip2 (no b counterpart) and plain.wav stay ordinary samples
+    assert {os.path.basename(s.path) for s in unpaired} == {
+        "a_clip2.wav", "plain.wav"}
+
+
+def test_batcher_dpo_micro_slice_layout(tmp_path):
+    """dpo=True places a (winner, loser) pair in the LAST TWO rows of every
+    grad-accum micro-slice — the layout make_train_step's DPO term indexes."""
+    pairs = []
+    for i in range(3):
+        w, _ = make_wav(tmp_path, f"a_c{i}.wav", seconds=0.3, freq=200 + i)
+        l, _ = make_wav(tmp_path, f"b_c{i}.wav", seconds=0.3, freq=300 + i)
+        pairs.append(Sample(w, f"pair {i}", "p", pair_path=l))
+    fillers = [Sample(make_wav(tmp_path, f"f{i}.wav", seconds=0.3)[0],
+                      f"fill {i}", "c") for i in range(4)]
+    from v2ap_tpu.config import DataConfig
+    cfg = DataConfig(target_length=24)
+    batcher = TrainBatcher(pairs + fillers, cfg, batch_size=8, seed=0,
+                           mix_prob=0.0, dpo=True, micro_batches=2)
+    batch = batcher.next_batch()
+    assert batch.has_pairs
+    assert batch.waveforms.shape[0] == 8
+    # rows 2,3 and 6,7 are the pairs: all four carry (distinct) audio
+    for i in (2, 3, 6, 7):
+        assert np.abs(batch.waveforms[i]).sum() > 0
+    assert not np.allclose(batch.waveforms[2], batch.waveforms[3])
+    assert not np.allclose(batch.waveforms[6], batch.waveforms[7])
+
+
+def test_batcher_dpo_requires_pairs(tmp_path):
+    s = Sample(make_wav(tmp_path, "x.wav", seconds=0.2)[0], "x", "c")
+    with pytest.raises(ValueError, match="no preference-pair samples"):
+        TrainBatcher([s], batch_size=4, dpo=True)
+
+
+def test_batcher_video_rows_use_sibling_wav(tmp_path):
+    """A video sample with a sibling <stem>.wav trains against that audio
+    (this image has no mp4-audio decoder; the reference read the container's
+    audio track, trainer...3.py:1033-1056)."""
+    from tests.test_pipeline import write_synthetic_video
+
+    video = str(tmp_path / "clip.mp4")
+    if not write_synthetic_video(video, frames=6, fps=4):
+        pytest.skip("no video writer available")
+    make_wav(tmp_path, "clip.wav", seconds=0.3, freq=250)
+    from v2ap_tpu.config import DataConfig
+    cfg = DataConfig(target_length=24)
+    samples = [Sample(make_wav(tmp_path, "w.wav", seconds=0.3)[0], "w", "c"),
+               Sample(video, "vid", "v", is_video=True)]
+    batcher = TrainBatcher(samples, cfg, batch_size=2, seed=0, mix_prob=0.0)
+    batch = batcher.next_batch()
+    vi = batch.video_paths.index(video)
+    assert np.abs(batch.waveforms[vi]).sum() > 0

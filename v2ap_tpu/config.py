@@ -54,6 +54,9 @@ class ModelConfig:
     notes: int = 51                  # piano-roll keys (88 for the full-keyboard variant)
     note_min: int = 15
     note_max: int = 65
+    # own a trained Video2RollNet (False for the base `crossatt` variant,
+    # which has no piano-roll stream; reference e2_tts_crossatt.py:1198)
+    video2roll: bool = True
     # mixed video-encoder mode: raw concat width projected down to dim_text
     # (reference video_encoder="mixed": 4608 -> 1280, e2_tts_crossatt3.py:1464)
     dim_text_raw: Optional[int] = None
@@ -220,6 +223,37 @@ def v2p_88key() -> V2APConfig:
     return cfg.replace(model=dataclasses.replace(cfg.model, notes=88, note_min=0, note_max=87))
 
 
+VARIANTS = ("crossatt", "crossatt6", "crossatt3", "crossatt3_2")
+
+
+def variant_preset(name: str) -> V2APConfig:
+    """One config per reference model/trainer variant (the reference keeps
+    four ~95%-duplicated model files — SURVEY §1 variant matrix):
+
+      * ``crossatt``    — base T2A/V2A, no piano-roll stream / Video2RollNet
+        (e2_tts_crossatt.py:1198);
+      * ``crossatt6``   — + FactorCL contrastive audio<->video loss
+        (e2_tts_crossatt6.py:884,1027-1061);
+      * ``crossatt3``   — shipped V2A+V2P: frames stream + Video2RollNet +
+        MIDI loss (e2_tts_crossatt3.py:70-72);
+      * ``crossatt3_2`` — 88-key full-keyboard variant
+        (e2_tts_crossatt3_2.py:74-76).
+    """
+    cfg = V2APConfig()
+    if name == "crossatt":
+        return cfg.replace(
+            model=dataclasses.replace(cfg.model, video2roll=False))
+    if name == "crossatt6":
+        return cfg.replace(
+            model=dataclasses.replace(cfg.model, video2roll=False),
+            train=dataclasses.replace(cfg.train, contrastive=True))
+    if name == "crossatt3":
+        return cfg
+    if name == "crossatt3_2":
+        return v2p_88key()
+    raise ValueError(f"unknown variant {name!r}; expected one of {VARIANTS}")
+
+
 def dryrun_test() -> V2APConfig:
     """Minimum-compile-surface config for the cold multichip dry-run: real
     tri-stream structure + Video2Roll + DP×TP shardings, but the smallest
@@ -229,6 +263,19 @@ def dryrun_test() -> V2APConfig:
     cfg = tiny_test()
     return cfg.replace(
         model=dataclasses.replace(cfg.model, depth=2, text_depth=2))
+
+
+def tiny_tower_test() -> V2APConfig:
+    """tiny_test with stream widths matched to the tiny frozen towers
+    (models.t5.t5_tiny_test d_model=32, models.clip_vit.clip_tiny_test
+    projection_dim=16) — the config the CPU-runnable ``--tiny`` entry-point
+    drives use. Training windows shrink to fit tiny max_seq_len."""
+    cfg = tiny_test()
+    return cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, dim_text=16, dim_context=32, num_channels=8),
+        data=dataclasses.replace(cfg.data, target_length=96,
+                                 min_target_length=96))
 
 
 def tiny_test() -> V2APConfig:

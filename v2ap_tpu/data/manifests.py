@@ -25,6 +25,7 @@ class Sample:
     is_sound_effect: bool = False   # drives theta-ratio resampling
     is_video: bool = False          # conditioning comes from frames
     is_piano: bool = False          # roll stream + MIDI supervision
+    pair_path: Optional[str] = None  # loser media of a preference pair (DPO)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,6 +38,11 @@ class CorpusSpec:
     is_piano: bool = False
     score_threshold: Optional[float] = None   # CLAP filter threshold
     limit: Optional[int] = None
+    # DPO preference pairing: same-directory files ``a<id>`` / ``b<id>``
+    # are the winner / loser of one preference pair of the same clip
+    # (reference trainer_multigpus_alldatas3.py:1316-1328). Paired samples
+    # carry ``pair_path``; unpaired files stay ordinary samples.
+    preference_pairs: bool = False
 
 
 def _iter_scp(path: str) -> Iterator[tuple[str, str]]:
@@ -65,6 +71,28 @@ def _iter_json(path: str) -> Iterator[tuple[str, str]]:
                 yield wav, cap
 
 
+def pair_preferences(rows: List[Sample]) -> List[Sample]:
+    """Fold ``a<id>`` / ``b<id>`` same-directory rows into winner samples
+    carrying ``pair_path`` (the loser). Files without a counterpart — or not
+    following the a*/b* convention — pass through unchanged (reference pair
+    indexing: trainer_multigpus_alldatas3.py:1316-1328)."""
+    by_key: dict = {}
+    for s in rows:
+        d, name = os.path.split(s.path)
+        if name[:1] in ("a", "b"):
+            by_key.setdefault((d, name[1:]), {})[name[0]] = s
+    out: List[Sample] = []
+    consumed = set()
+    for (d, rest), ab in by_key.items():
+        if "a" in ab and "b" in ab:
+            w, l = ab["a"], ab["b"]
+            consumed.add(w.path)
+            consumed.add(l.path)
+            out.append(dataclasses.replace(w, pair_path=l.path))
+    out.extend(s for s in rows if s.path not in consumed)
+    return out
+
+
 def load_corpus(spec: CorpusSpec) -> List[Sample]:
     if not spec.enabled or not os.path.exists(spec.manifest):
         return []
@@ -78,6 +106,8 @@ def load_corpus(spec: CorpusSpec) -> List[Sample]:
                           is_video=spec.is_video, is_piano=spec.is_piano))
         if spec.limit is not None and len(out) >= spec.limit:
             break
+    if spec.preference_pairs:
+        out = pair_preferences(out)
     return out
 
 

@@ -20,7 +20,7 @@ keys instead of python `random()`.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,10 @@ class LossBreakdown(NamedTuple):
     recall: jnp.ndarray
     f1: jnp.ndarray
     accuracy: jnp.ndarray
+    # auxiliary training objectives, filled in by the train step when
+    # TrainConfig.dpo / .contrastive are enabled (0.0 otherwise)
+    dpo: Any = 0.0
+    contrastive: Any = 0.0
 
 
 class CFMOutput(NamedTuple):

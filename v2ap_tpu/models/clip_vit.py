@@ -90,10 +90,14 @@ class CLIPAttention(nnx.Module):
         b, n, d = x.shape
         split = lambda t: t.reshape(b, n, self.heads, self.dh).transpose(0, 2, 1, 3)
         q, k, v = split(self.q(x)), split(self.k(x)), split(self.v(x))
-        s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                       k.astype(jnp.float32)) * (self.dh ** -0.5)
+        # keep matmul INPUTS in the compute dtype (bf16 rides the MXU at
+        # full rate; f32 inputs run 1/8th speed on v5e) but ACCUMULATE in
+        # f32 via preferred_element_type; softmax stays f32
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * (self.dh ** -0.5)
         p = jax.nn.softmax(s, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+        out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(x.dtype), v,
+                         preferred_element_type=jnp.float32)
         out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, n, d)
         return self.o(out)
 

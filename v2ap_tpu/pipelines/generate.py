@@ -110,7 +110,8 @@ class V2APipeline:
         self.codec_cfg = encodec_config
 
         self.cfm = create_model(lambda: CFM(
-            self.cfg.model, self.cfg.conditioning, rngs=nnx.Rngs(seed)))
+            self.cfg.model, self.cfg.conditioning,
+            with_video2roll=self.cfg.model.video2roll, rngs=nnx.Rngs(seed)))
         self.codec = create_model(lambda: EncodecModel(self.codec_cfg,
                                                        rngs=nnx.Rngs(seed + 1)))
         self.t5 = create_model(lambda: T5Encoder(self.t5_cfg,

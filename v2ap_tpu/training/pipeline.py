@@ -126,19 +126,30 @@ class TrainingPipeline:
         start = self.resumer.maybe_resume()
         rng = jax.random.key(seed + start)
         it = iter(batcher)
+        eval_it = iter(eval_batcher) if eval_batcher is not None else None
         for _ in range(start, num_steps):
             batch = self.device_batch(next(it))
             rng, sub = jax.random.split(rng)
             loss, breakdown = self.trainer.train_step(sub, batch)
             step = self.trainer.step
             if step % log_every == 0:
-                self.metrics.log(step, loss=float(loss),
-                                 flow=float(breakdown.flow),
-                                 midi=float(breakdown.midi))
+                scalars = dict(loss=float(loss), flow=float(breakdown.flow),
+                               midi=float(breakdown.midi))
+                if self.cfg.train.dpo:
+                    scalars["dpo"] = float(breakdown.dpo)
+                if self.cfg.train.contrastive:
+                    scalars["contrastive"] = float(breakdown.contrastive)
+                self.metrics.log(step, **scalars)
                 self.watchdog.beat(step, loss=float(loss))
-            if self.resumer.maybe_save() and eval_batcher is not None:
-                eb = self.device_batch(next(iter(eval_batcher)))
-                eloss, ebk = self.trainer.eval_step(jax.random.key(0), eb)
+            if self.resumer.maybe_save() and eval_it is not None:
+                # periodic val loss/F1 + latent-spectrogram figures, matching
+                # the reference's every-save_step evaluate() + TB mel dumps
+                # (trainer_multigpus_alldatas3.py:434-439)
+                eb = self.device_batch(next(eval_it))
+                eloss, ebk, pred = self.trainer.eval_step(
+                    jax.random.key(0), eb, return_pred=True)
                 self.metrics.log(step, val_loss=float(eloss),
                                  val_f1=float(ebk.f1))
+                self.metrics.log_spectrogram(step, "target", eb["latents"][0])
+                self.metrics.log_spectrogram(step, "pred", pred[0])
         return self.trainer.step

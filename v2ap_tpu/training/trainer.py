@@ -90,9 +90,10 @@ def make_train_step(train_cfg: TrainConfig):
     FactorCL objectives into this same step (the reference produced its
     released checkpoints with these paths enabled; e2_tts_crossatt3.py:2504-
     2566, e2_tts_crossatt6.py:1027-1061):
-      * DPO: batch rows [-2]/[-1] are the winner/loser of a preference pair;
-        ``ref_model`` (the EMA shadow) scores them at the *same* (t, x0, span,
-        condition-drop) draws via the shared PRNG key.
+      * DPO: rows [-2]/[-1] of each micro-batch are the winner/loser of a
+        preference pair (``TrainBatcher(dpo=True, micro_batches=accum)``
+        emits this layout); ``ref_model`` (the EMA shadow) scores them at the
+        *same* (t, x0, span, condition-drop) draws via the shared PRNG key.
       * contrastive: layer-1 (audio, CLIP-stream) hiddens of rows 2..8 feed
         the FactorCL CLUB critic; the critic trains jointly via its InfoNCE
         learning loss.
@@ -109,9 +110,6 @@ def make_train_step(train_cfg: TrainConfig):
     accum = max(1, train_cfg.grad_accum)
     use_dpo = train_cfg.dpo
     use_con = train_cfg.contrastive
-    if (use_dpo or use_con) and accum > 1:
-        raise ValueError("dpo/contrastive require grad_accum=1: preference "
-                         "pairs and contrastive rows index the full batch")
 
     def _cfm_loss(m: CFM, rng, batch, has_frames, collect):
         return m.loss(
@@ -137,6 +135,7 @@ def make_train_step(train_cfg: TrainConfig):
             loss_con = (fcl(fa, fb, labels)
                         + fcl.learning_loss(fa, fb, labels))
             total = total + train_cfg.contrastive_weight * loss_con
+            breakdown = breakdown._replace(contrastive=loss_con)
         if use_dpo:
             from v2ap_tpu.training.dpo import dpo_pair_loss
             per = out.per_sample_flow
@@ -144,25 +143,27 @@ def make_train_step(train_cfg: TrainConfig):
                                      ref_per_sample[-1],
                                      scale=-train_cfg.dpo_beta)
             total = total + loss_dpo
+            breakdown = breakdown._replace(dpo=loss_dpo)
         return total, breakdown
 
     # donate model+optimizer state: without donation the updated params and
     # AdamW moments coexist with the old ones for the whole step (2x ~9 GB
     # at full size — OOM on a 16 GB chip). nnx.jit writes the new state back
     # into the same module objects, so donation is transparent to callers.
+    def _ref_scores(ref_model, sub, batch, has_frames):
+        # EMA-reference forward at the same draws (shared k_loss)
+        k_loss, _ = jax.random.split(sub)
+        ref_out = _cfm_loss(ref_model, k_loss, batch, has_frames, False)
+        return jax.lax.stop_gradient(ref_out.per_sample_flow)
+
     @partial(nnx.jit, static_argnames=("has_frames",),
              donate_argnums=(0, 1, 2, 3))
     def train_step(model: CFM, optimizer: nnx.Optimizer, fcl, fcl_opt,
                    ref_model, rng: jax.Array, batch: dict,
                    has_frames: bool = False):
-        ref_per_sample = None
-        if use_dpo:
-            # EMA-reference forward at the same draws (shared k_loss)
-            k_loss, _ = jax.random.split(rng)
-            ref_out = _cfm_loss(ref_model, k_loss, batch, has_frames, False)
-            ref_per_sample = jax.lax.stop_gradient(ref_out.per_sample_flow)
-
         if accum == 1:
+            ref_per_sample = (_ref_scores(ref_model, rng, batch, has_frames)
+                              if use_dpo else None)
             if use_con:
                 (loss, breakdown), grads = nnx.value_and_grad(
                     _loss, has_aux=True, argnums=(0, 1))(
@@ -177,7 +178,10 @@ def make_train_step(train_cfg: TrainConfig):
             return loss, breakdown
 
         # micro-batches unroll at trace time (accum is small; a lax.scan
-        # would forbid the stateful dropout-RNG mutation inside its body)
+        # would forbid the stateful dropout-RNG mutation inside its body).
+        # DPO/contrastive terms index rows *within* each micro-batch (the
+        # batcher places one preference pair at the end of every micro-slice),
+        # so preference optimization composes with accumulation.
         b = batch["latents"].shape[0]
         if b % accum != 0:
             raise ValueError(
@@ -189,21 +193,36 @@ def make_train_step(train_cfg: TrainConfig):
                 if hasattr(x, "ndim") and x.ndim > 0 else x, batch)
 
         g_sum = None
+        gf_sum = None
         loss_sum = jnp.asarray(0.0)
         bk_sum = None
         for i in range(accum):
             sub = jax.random.fold_in(rng, i)
-            (loss, bk), grads = nnx.value_and_grad(
-                _loss, has_aux=True)(model, fcl, sub, micro(i), has_frames,
-                                     None)
+            mb = micro(i)
+            ref_ps = (_ref_scores(ref_model, sub, mb, has_frames)
+                      if use_dpo else None)
+            if use_con:
+                (loss, bk), (g, gf) = nnx.value_and_grad(
+                    _loss, has_aux=True, argnums=(0, 1))(
+                        model, fcl, sub, mb, has_frames, ref_ps)
+                gf_sum = gf if gf_sum is None else jax.tree.map(
+                    lambda a, c: a + c if hasattr(a, "dtype") else a,
+                    gf_sum, gf)
+            else:
+                (loss, bk), g = nnx.value_and_grad(
+                    _loss, has_aux=True)(model, fcl, sub, mb, has_frames,
+                                         ref_ps)
             loss_sum = loss_sum + loss
             bk_sum = bk if bk_sum is None else jax.tree.map(
                 lambda a, c: a + c, bk_sum, bk)
-            g_sum = grads if g_sum is None else jax.tree.map(
-                lambda a, c: a + c if hasattr(a, "dtype") else a, g_sum, grads)
+            g_sum = g if g_sum is None else jax.tree.map(
+                lambda a, c: a + c if hasattr(a, "dtype") else a, g_sum, g)
         grads = jax.tree.map(
             lambda g: g / accum if hasattr(g, "dtype") else g, g_sum)
         optimizer.update(model, grads)
+        if use_con:
+            fcl_opt.update(fcl, jax.tree.map(
+                lambda g: g / accum if hasattr(g, "dtype") else g, gf_sum))
         breakdown = jax.tree.map(lambda a: a / accum, bk_sum)
         return loss_sum / accum, breakdown
 
@@ -214,9 +233,9 @@ def make_eval_step(train_cfg: TrainConfig):
     """Deterministic validation forward: fixed times=0.5, centered span, no
     condition dropout (reference trainer...3.py:271-324, val path)."""
 
-    @partial(nnx.jit, static_argnames=("has_frames",))
+    @partial(nnx.jit, static_argnames=("has_frames", "return_pred"))
     def eval_step(model: CFM, rng: jax.Array, batch: dict,
-                  has_frames: bool = False):
+                  has_frames: bool = False, return_pred: bool = False):
         out = model.loss(
             batch["latents"], lens=batch["lens"],
             text_embed=batch["text_embed"], context=batch.get("context"),
@@ -225,6 +244,11 @@ def make_eval_step(train_cfg: TrainConfig):
             midis=batch.get("midis") if has_frames else None,
             times=0.5, val=True,
             midi_loss_weight=train_cfg.midi_loss_weight)
+        if return_pred:
+            # denoised-data estimate for the periodic spectrogram figures
+            # (reference dumps target/mask/pred mels every save_step,
+            # trainer...3.py:434-439)
+            return out.loss, out.breakdown, out.pred_data
         return out.loss, out.breakdown
 
     return eval_step
@@ -269,9 +293,11 @@ class Trainer:
         self.step += 1
         return loss, breakdown
 
-    def eval_step(self, rng: jax.Array, batch: dict) -> tuple:
+    def eval_step(self, rng: jax.Array, batch: dict,
+                  return_pred: bool = False) -> tuple:
         has_frames = "frames" in batch and batch["frames"] is not None
-        return self._eval_step(self.model, rng, batch, has_frames=has_frames)
+        return self._eval_step(self.model, rng, batch, has_frames=has_frames,
+                               return_pred=return_pred)
 
     def run(self, batches: Iterator[dict], *, num_steps: int,
             rng: jax.Array, log_every: int = 50,

@@ -51,8 +51,68 @@ def load_model(path: str, model: nnx.Module) -> int:
     return int(restored["meta"]["step"])
 
 
+def _replicated_global_sharding():
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("all",))
+    return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+
+def _is_global(x) -> bool:
+    return (isinstance(x, jax.Array)
+            and isinstance(x.sharding, jax.sharding.NamedSharding)
+            and x.sharding.mesh.devices.size == len(jax.devices()))
+
+
+def _globalize(payload):
+    """Multi-host: orbax refuses host-local (single-device) jax.Arrays — every
+    process must hand it globally-addressable arrays. Mesh-sharded params
+    already are; UNSHARDED leaves (e.g. a model built outside shard_model)
+    get rebuilt as fully-replicated global arrays (all hosts hold identical
+    values for such leaves — they were constructed/updated in lockstep)."""
+    if jax.process_count() == 1:
+        return payload
+    sharding = _replicated_global_sharding()
+
+    def conv(x):
+        if not isinstance(x, jax.Array) or _is_global(x):
+            return x
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            # typed PRNG keys: globalize the underlying uint32 data, re-wrap
+            data = np.asarray(jax.random.key_data(x))
+            g = jax.make_array_from_callback(data.shape, sharding,
+                                             lambda idx: data[idx])
+            return jax.random.wrap_key_data(g, impl=jax.random.key_impl(x))
+        val = np.asarray(x)
+        return jax.make_array_from_callback(val.shape, sharding,
+                                            lambda idx: val[idx])
+
+    return jax.tree.map(conv, payload)
+
+
+def _localize(template, restored):
+    """Leaves that save-time globalization rebuilt as replicated arrays come
+    back as host numpy (each host holds full values); genuinely mesh-sharded
+    leaves keep their global sharding."""
+    if jax.process_count() == 1:
+        return restored
+
+    def conv(orig, r):
+        if not (isinstance(r, jax.Array) and isinstance(orig, jax.Array)
+                and not _is_global(orig)):
+            return r
+        if jax.dtypes.issubdtype(r.dtype, jax.dtypes.prng_key):
+            data = np.asarray(jax.random.key_data(r).addressable_data(0))
+            return jax.random.wrap_key_data(
+                jax.numpy.asarray(data), impl=jax.random.key_impl(orig))
+        return np.asarray(r.addressable_data(0))
+
+    return jax.tree.map(conv, template, restored)
+
+
 class CheckpointManager:
-    """Rolling training checkpoints with keep-last-N semantics."""
+    """Rolling training checkpoints with keep-last-N semantics.
+
+    Multi-host: call ``save``/``restore`` from EVERY process (orbax runs its
+    own cross-host barrier; rank 0 writes the data)."""
 
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
@@ -68,7 +128,7 @@ class CheckpointManager:
             payload["opt"] = nnx.to_pure_dict(nnx.state(optimizer))
         if ema is not None:
             payload["ema"] = nnx.to_pure_dict(nnx.state(ema))
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.save(step, args=ocp.args.StandardSave(_globalize(payload)))
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
@@ -85,7 +145,9 @@ class CheckpointManager:
             template["opt"] = nnx.to_pure_dict(nnx.state(optimizer))
         if ema is not None:
             template["ema"] = nnx.to_pure_dict(nnx.state(ema))
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(_globalize(template)))
+        restored = _localize(template, restored)
 
         def put_back(module, key):
             st = nnx.state(module)

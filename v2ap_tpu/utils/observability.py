@@ -92,9 +92,9 @@ class MetricsLogger:
             ax.set_title(f"{name} step {step}")
             path = os.path.join(self.log_dir, f"{name}_{step}.png")
             fig.savefig(path, dpi=80, bbox_inches="tight")
-            plt.close(fig)
             if self._tb is not None:
                 self._tb.add_figure(name, fig, step)
+            plt.close(fig)
         except Exception:
             pass
 
