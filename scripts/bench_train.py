@@ -102,6 +102,14 @@ def main(steps: int = 8, batch: int = 4) -> None:
     print(f"est_flops/step={flops/1e12:.2f}TF  "
           f"throughput={flops/wall/1e12:.1f}TF/s  "
           f"mfu={flops/wall/peak*100:.1f}% (peak {peak/1e12:.0f}TF/s)")
+    # machine-readable last line (bench.py merges these into the driver JSON)
+    import json
+    print(json.dumps({
+        "train_step_ms": round(wall * 1e3, 1),
+        "train_batch": b,
+        "train_audio_x_realtime": round(audio_s / wall, 2),
+        "train_mfu": round(flops / wall / peak, 3),
+    }))
 
 
 if __name__ == "__main__":

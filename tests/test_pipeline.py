@@ -100,6 +100,11 @@ def test_generate_piano_branch(pipeline, tmp_path):
     assert 2 * 24_000 < wav.shape[0] <= 3 * 24_000
     assert np.isfinite(wav).all()
     assert os.path.exists(str(tmp_path / "piano.generated_frames_raw.2.npz"))
+    # roll-level cache written on the first pass; the cache-hit path (skips
+    # strip upload + Video2Roll) must reproduce the same audio bit-exactly
+    assert os.path.exists(str(tmp_path / "piano.generated_roll.npz"))
+    wav2, _ = pipeline.generate(video, "", steps=2, piano=True, seed=2)
+    np.testing.assert_allclose(wav, wav2)
 
 
 def test_generate_long_chunked(pipeline, tmp_path):

@@ -105,6 +105,14 @@ def piano_frames_cache_path(video_path: str) -> str:
     return video_path.replace(".mp4", ".generated_frames_raw.2.npz")
 
 
+def piano_roll_cache_path(video_path: str) -> str:
+    """Roll-probability cache (new vs the reference, which only caches raw
+    strips): Video2RollNet is frozen at serving time, so repeat requests can
+    skip the ~20 MB strip upload + net forward entirely — the (n, 51) roll
+    is ~150 KB."""
+    return video_path.replace(".mp4", ".generated_roll.npz")
+
+
 def save_feature_cache(path: str, features: np.ndarray, duration: float) -> None:
     try:
         np.savez(path, features, duration)

@@ -269,9 +269,12 @@ class V2APipeline:
                    else self._jnp.asarray(part))
             pending.append((pad, self._tower_fwd(
                 tower.model, dev, mean, std)))
-        embeds = [np.asarray(out)[: chunk - pad] for pad, out in pending]
-        feats = np.concatenate(embeds)
+        last_pad = pending[-1][0]
+        n_frames = len(pending) * chunk - last_pad
+        # one device-side concat instead of one host transfer per chunk
+        feats = self._jnp.concatenate([out for _, out in pending])[:n_frames]
         if self.cfg.conditioning.feature_cache:
+            feats = np.asarray(feats)       # cache format unchanged (npz)
             video_io.save_feature_cache(cache, feats, duration)
         return feats, duration
 
@@ -293,19 +296,27 @@ class V2APipeline:
             if feats is None:
                 return None, None
             per_tower.append(feats)
+        jnp = self._jnp
+        on_device = any(not isinstance(f, np.ndarray) for f in per_tower)
+        xp = jnp if on_device else np
         t = min(len(f) for f in per_tower)
         feats = (per_tower[0][:t] if len(per_tower) == 1 else
-                 np.concatenate([f[:t] for f in per_tower], axis=-1))
+                 xp.concatenate([xp.asarray(f[:t]) for f in per_tower],
+                                axis=-1))
+        # nearest-frame interpolation to the latent rate: host-computed index
+        # table, gather on device when the embeddings stayed there (cold
+        # serving keeps the whole conditioning path on-chip — no ~12 MB
+        # feature round trip over the host link)
         idx = video_io.interp_indices_clip(
-            len(feats), duration, length,
+            t, duration, length,
             sample_rate=self.cfg.conditioning.sampling_rate,
             frame_size=self.cfg.conditioning.frame_size)
         interp = feats[idx]
         if len(interp) < length:
-            interp = np.concatenate(
-                [interp, np.zeros((length - len(interp), interp.shape[-1]),
+            interp = xp.concatenate(
+                [interp, xp.zeros((length - len(interp), interp.shape[-1]),
                                   interp.dtype)])
-        return interp.astype(np.float32), duration
+        return interp.astype(xp.float32), duration
 
     def encode_piano_frames(self, video_path: str, length: int,
                             frames_cache=None):
@@ -382,16 +393,27 @@ class V2APipeline:
         n = None
         decoded = []                      # one decode shared across encoders
         strips_dev = None
+        roll_np = None
         if piano and video_path is not None and duration_s is None:
             # piano path: decode first and dispatch the keyboard-strip upload
             # *before* the CLIP pass, so the ~20 MB uint8 transfer rides the
             # wire while the host does CLIP preprocessing and the device runs
             # the vision tower (jax transfers are async)
             from v2ap_tpu.data import video_io
+            if self.cfg.conditioning.feature_cache:
+                # roll-level cache: skips strip load/upload AND Video2Roll
+                roll_np, roll_dur = video_io.load_feature_cache(
+                    video_io.piano_roll_cache_path(video_path))
+                if roll_np is not None:
+                    duration_s, n_valid, n = plan_length(
+                        min(roll_dur, max_duration_s))
+                    if len(roll_np) != n:     # different length bucket
+                        roll_np = None
+                        duration_s = n = None
             cache = video_io.piano_frames_cache_path(video_path)
             has_strip_cache = (self.cfg.conditioning.feature_cache
                                and video_io.load_feature_cache(cache)[0] is not None)
-            if not has_strip_cache:
+            if roll_np is None and not has_strip_cache:
                 decoded.append(video_io.read_video_frames(video_path))
                 if decoded[0][0] is not None:
                     dur0 = min(decoded[0][1] or 10.0, max_duration_s)
@@ -418,28 +440,46 @@ class V2APipeline:
         # mixed mode: raw concat width; CFM.proj_text projects to dim_text
         tdim = self.cfg.model.dim_text_raw or self.cfg.model.dim_text
         if text_embed_np is not None:
-            text = np.zeros((b, n, tdim), np.float32)
-            text[0, : min(n, len(text_embed_np))] = text_embed_np[:n]
-            text = jnp.asarray(text)
+            m = min(n, len(text_embed_np))
+            if isinstance(text_embed_np, np.ndarray):
+                text = np.zeros((b, n, tdim), np.float32)
+                text[0, :m] = text_embed_np[:m]
+                text = jnp.asarray(text)
+            else:                     # cold path: embeddings stayed on device
+                text = jnp.zeros((b, n, tdim), jnp.float32
+                                 ).at[0, :m].set(text_embed_np[:m])
         else:
             text = jnp.zeros((b, n, tdim), jnp.float32)
 
         drop_prompt = prompt.strip() == ""
-        eff_prompt = "the sound of X X" if drop_prompt else prompt
-        ctx, ctx_mask = self.encode_text([eff_prompt])
         if drop_prompt:
-            ctx = ctx * 0.0
+            # reference semantics: swap to "the sound of X X" then zero the
+            # encoded context (e2_tts_crossatt3.py:2053-2062). The T5 k/v
+            # projections carry no bias, so a zero context of any length is
+            # bit-identical to the zeroed T5 output — skip the T5 pass.
+            ctx = jnp.zeros((b, 1, self.cfg.model.dim_context), jnp.float32)
+            ctx_mask = jnp.ones((b, 1), bool)
+        else:
+            ctx, ctx_mask = self.encode_text([prompt])
 
         if piano and video_path is not None:
-            if strips_dev is None:        # cached-strip / explicit-duration path
-                strips = self.encode_piano_frames(video_path, n,
-                                                  frames_cache=decoded)
-                if strips is not None:
-                    strips_dev = jnp.asarray(strips[None])
-            if strips_dev is not None:
-                frames_roll = self._encode_frames(self.cfm, strips_dev, n)
+            if roll_np is not None and len(roll_np) == n:  # roll-cache hit
+                frames_roll = jnp.asarray(roll_np[None])
             else:
-                frames_roll = jnp.zeros((b, n, self.cfg.model.notes))
+                if strips_dev is None:    # cached-strip / explicit-duration path
+                    strips = self.encode_piano_frames(video_path, n,
+                                                      frames_cache=decoded)
+                    if strips is not None:
+                        strips_dev = jnp.asarray(strips[None])
+                if strips_dev is not None:
+                    frames_roll = self._encode_frames(self.cfm, strips_dev, n)
+                    if self.cfg.conditioning.feature_cache:
+                        from v2ap_tpu.data import video_io
+                        video_io.save_feature_cache(
+                            video_io.piano_roll_cache_path(video_path),
+                            np.asarray(frames_roll[0]), duration_s)
+                else:
+                    frames_roll = jnp.zeros((b, n, self.cfg.model.notes))
         else:
             frames_roll = jnp.zeros((b, n, self.cfg.model.notes), jnp.float32)
         timings["conditioning_s"] = _time.perf_counter() - _t0
@@ -509,10 +549,16 @@ class V2APipeline:
                         self.cfm, jnp.asarray(strips[None]), n))
                     frames_roll[i] = roll[0]
 
-        eff = [p if p.strip() else "the sound of X X" for p in prompts]
-        drop = jnp.asarray([not p.strip() for p in prompts])
-        ctx, ctx_mask = self.encode_text(eff)
-        ctx = jnp.where(drop[:, None, None], 0.0, ctx)
+        if all(not p.strip() for p in prompts):
+            # all prompts dropped: zero context of any length is bit-identical
+            # to the zeroed T5 output (bias-free k/v) — skip the T5 pass
+            ctx = jnp.zeros((b, 1, self.cfg.model.dim_context), jnp.float32)
+            ctx_mask = jnp.ones((b, 1), bool)
+        else:
+            eff = [p if p.strip() else "the sound of X X" for p in prompts]
+            drop = jnp.asarray([not p.strip() for p in prompts])
+            ctx, ctx_mask = self.encode_text(eff)
+            ctx = jnp.where(drop[:, None, None], 0.0, ctx)
 
         mask = jnp.broadcast_to(jnp.arange(n)[None, :] < n_valid, (b, n))
         x0 = self._jax.random.normal(

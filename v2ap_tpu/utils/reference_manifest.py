@@ -145,12 +145,26 @@ def reference_manifest(mc, variant: str = "crossatt3",
         m["proj_frames.bias"] = (mc.dim_frames,)
 
     if variant == "crossatt6":
-        # FactorCLSUP critic tower (multibench_model.py:150-283); consumed by
-        # training.contrastive, ignored by the CFM converter
-        for j in (0, 2):
-            m[f"transformer.contrastive_loss.critic_cond.f.{j}.weight"] = (
-                64, 64)
-            m[f"transformer.contrastive_loss.critic_cond.f.{j}.bias"] = (64,)
+        # FactorCLSUP critic tower (multibench_model.py:150-178, executed:
+        # scripts/derive_reference_keys.py): FactorCLSUP(None, [dim,
+        # dim_text], y_ohe_dim=6) keeps only linears_club_x1x2_cond (two
+        # mlp_head(d, d) = Linear/ReLU/Linear stacks) and club_x1x2_cond
+        # (CLUBInfoNCECritic over concat(x1+ohe, x2+ohe) with hidden 512,
+        # 1 layer). Consumed by training.contrastive, ignored by the CFM
+        # converter.
+        y_ohe, hidden = 6, 512
+        cl = "transformer.contrastive_loss"
+        for j, d in ((0, mc.dim), (1, mc.dim_text)):
+            for layer in (0, 2):
+                m[f"{cl}.linears_club_x1x2_cond.{j}.{layer}.weight"] = (d, d)
+                m[f"{cl}.linears_club_x1x2_cond.{j}.{layer}.bias"] = (d,)
+        critic_in = mc.dim + mc.dim_text + 2 * y_ohe
+        m[f"{cl}.club_x1x2_cond._f.0.weight"] = (hidden, critic_in)
+        m[f"{cl}.club_x1x2_cond._f.0.bias"] = (hidden,)
+        m[f"{cl}.club_x1x2_cond._f.2.weight"] = (hidden, hidden)
+        m[f"{cl}.club_x1x2_cond._f.2.bias"] = (hidden,)
+        m[f"{cl}.club_x1x2_cond._f.4.weight"] = (1, hidden)
+        m[f"{cl}.club_x1x2_cond._f.4.bias"] = (1,)
     return m
 
 
