@@ -72,3 +72,41 @@ def test_gray_resize_shape_and_range():
     flat = np.full((20, 30, 3), 128, np.uint8)
     out2 = native.gray_resize(flat, 10, 15)
     np.testing.assert_allclose(out2, 128 / 255.0, atol=1e-3)
+
+
+def _pil_clip_geometry(frames: np.ndarray, size: int) -> np.ndarray:
+    """The original PIL per-frame loop (clip_vit.preprocess_frames geometry
+    path) — the oracle the native batch kernel must match bit-for-bit."""
+    from PIL import Image
+
+    out = np.empty((len(frames), size, size, 3), np.uint8)
+    for i in range(len(frames)):
+        img = Image.fromarray(frames[i])
+        w, h = img.size
+        short = min(w, h)
+        nw, nh = round(w * size / short), round(h * size / short)
+        img = img.resize((nw, nh), Image.BICUBIC)
+        left, top = (nw - size) // 2, (nh - size) // 2
+        out[i] = np.asarray(
+            img.crop((left, top, left + size, top + size)), np.uint8)
+    return out
+
+
+@pytest.mark.parametrize("shape,size", [
+    ((3, 360, 640, 3), 224),   # serving: downscale landscape
+    ((2, 640, 360, 3), 224),   # portrait
+    ((2, 100, 160, 3), 224),   # upscale
+    ((1, 224, 224, 3), 224),   # identity-size
+    ((2, 123, 457, 3), 96),    # odd sizes
+])
+def test_clip_preprocess_batch_matches_pil(shape, size):
+    rng = np.random.default_rng(0)
+    frames = (rng.random(shape) * 255).astype(np.uint8)
+    out = native.clip_preprocess_batch(frames, size)
+    assert out is not None
+    ref = _pil_clip_geometry(frames, size)
+    delta = np.abs(out.astype(np.int16) - ref.astype(np.int16))
+    # PIL's fixed-point resample is replicated exactly; allow 1 uint8 level
+    # for platform rounding differences in the double->int coefficient cast
+    assert delta.max() <= 1, f"max|d|={delta.max()}"
+    assert (delta > 0).mean() < 0.01

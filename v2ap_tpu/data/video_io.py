@@ -38,17 +38,39 @@ def read_video_frames(path: str, max_frames: Optional[int] = None
         if not cap.isOpened():
             return None, None
         fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
-        frames = []
-        while True:
+        # fast path: decode into one preallocated array (cvtColor writes in
+        # place). The append-then-np.stack variant costs 2-4x more wall on a
+        # single-core host: per-frame allocations plus a full-size copy.
+        n_est = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT) or 0)
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH) or 0)
+        arr = None
+        n = 0
+        extra = []                      # metadata count wrong/missing: finish
+        if n_est > 0 and h > 0 and w > 0:
+            arr = np.empty((n_est, h, w, 3), np.uint8)
+            while n < n_est:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if frame.shape[:2] != (h, w):
+                    extra.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                    break
+                cv2.cvtColor(frame, cv2.COLOR_BGR2RGB, dst=arr[n])
+                n += 1
+            arr = arr[:n]
+        while True:                     # (or run entirely) via the list path
             ok, frame = cap.read()
             if not ok:
                 break
-            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            extra.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
         cap.release()
-        if not frames:
+        if extra:
+            arr = (np.concatenate([arr, np.stack(extra)])
+                   if arr is not None and n else np.stack(extra))
+        if arr is None or not len(arr):
             return None, None
-        duration = len(frames) / fps if fps > 0 else len(frames) / 25.0
-        arr = np.stack(frames)
+        duration = len(arr) / fps if fps > 0 else len(arr) / 25.0
         if max_frames is not None and len(arr) > max_frames:
             idx = np.linspace(0, len(arr) - 1, max_frames).astype(int)
             arr = arr[idx]
@@ -79,7 +101,6 @@ def piano_preprocess(frames: np.ndarray, width: int = 900, height: int = 100
     cv2.resize on uint8 stays uint8 so this is lossless and ships/caches 4x
     smaller; e2_tts_crossatt3.py:60-63,1898-1908)."""
     import cv2
-    from concurrent.futures import ThreadPoolExecutor
     out = np.empty((len(frames), height, width), np.uint8)
 
     def work(i):
@@ -87,8 +108,14 @@ def piano_preprocess(frames: np.ndarray, width: int = 900, height: int = 100
         out[i] = cv2.resize(g, (width, height),
                             interpolation=cv2.INTER_LINEAR)
 
-    with ThreadPoolExecutor(max_workers=8) as pool:  # cv2 releases the GIL
-        list(pool.map(work, range(len(frames))))
+    workers = min(8, os.cpu_count() or 1)
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:  # cv2 drops GIL
+            list(pool.map(work, range(len(frames))))
+    else:
+        for i in range(len(frames)):
+            work(i)
     return out
 
 

@@ -87,17 +87,38 @@ class CLIPAttention(nnx.Module):
         self.dh = d // cfg.num_heads
 
     def __call__(self, x):
+        from v2ap_tpu.ops.flash_attention import (
+            flash_attention, use_pallas_default,
+        )
         b, n, d = x.shape
-        split = lambda t: t.reshape(b, n, self.heads, self.dh).transpose(0, 2, 1, 3)
+        split = lambda t: t.reshape(b, n, self.heads, self.dh
+                                    ).transpose(0, 2, 1, 3)
         q, k, v = split(self.q(x)), split(self.k(x)), split(self.v(x))
-        # keep matmul INPUTS in the compute dtype (bf16 rides the MXU at
-        # full rate; f32 inputs run 1/8th speed on v5e) but ACCUMULATE in
-        # f32 via preferred_element_type; softmax stays f32
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                       preferred_element_type=jnp.float32) * (self.dh ** -0.5)
-        p = jax.nn.softmax(s, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(x.dtype), v,
-                         preferred_element_type=jnp.float32)
+        if use_pallas_default() and n >= 128:
+            # Pallas flash path: never materialises the (b,h,n,n) scores in
+            # HBM (bigG: ~270 MB f32 per 64-frame chunk per layer); tokens
+            # pad to a 128-multiple with a kv mask. Measured on the 48-layer
+            # bigG stack (scripts/probe_attn_variants.py): 255 ms vs 323 ms
+            # for the XLA einsum path; a fused-qkv matmul and padding
+            # head_dim 104->128 both came out SLOWER (324-357 ms) — the pad
+            # materialises a ~200 MB copy and the fused (d,3d) matmul lays
+            # out worse than three (d,d) ones, so keep it simple.
+            npad = ((n + 127) // 128) * 128
+            if npad != n:
+                pad = [(0, 0), (0, 0), (0, npad - n), (0, 0)]
+                q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+            kv_mask = jnp.broadcast_to(jnp.arange(npad) < n, (b, npad))
+            out = flash_attention(q, k, v, kv_mask, scale=self.dh ** -0.5,
+                                  block_q=npad, block_k=npad)[:, :, :n]
+        else:
+            # keep matmul INPUTS in the compute dtype (bf16 rides the MXU at
+            # full rate; f32 inputs run 1/8th speed on v5e) but ACCUMULATE in
+            # f32 via preferred_element_type; softmax stays f32
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                           preferred_element_type=jnp.float32) * (self.dh ** -0.5)
+            p = jax.nn.softmax(s, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(x.dtype), v,
+                             preferred_element_type=jnp.float32)
         out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, n, d)
         return self.o(out)
 
@@ -186,9 +207,21 @@ def preprocess_frames(frames, image_size: int = 224, mean=None, std=None,
     from PIL import Image
 
     dtype = np.float32 if normalize else np.uint8
-    out = np.empty((len(frames), image_size, image_size, 3), dtype)
     mean = np.asarray(mean if mean is not None else CLIP_MEAN, np.float32)
     std = np.asarray(std if std is not None else CLIP_STD, np.float32)
+
+    # native fast path: PIL-exact fixed-point resample in C++ (the serving
+    # host is often a single core where the PIL-per-frame loop costs
+    # ~7 ms/frame; the native batch runs the same arithmetic ~4x faster)
+    from v2ap_tpu import native
+    fast = native.clip_preprocess_batch(np.ascontiguousarray(frames),
+                                        image_size)
+    if fast is not None:
+        if not normalize:
+            return fast
+        return (fast.astype(np.float32) / 255.0 - mean) / std
+
+    out = np.empty((len(frames), image_size, image_size, 3), dtype)
 
     def work(i):
         img = Image.fromarray(frames[i])
@@ -205,10 +238,17 @@ def preprocess_frames(frames, image_size: int = 224, mean=None, std=None,
         else:
             out[i] = np.asarray(img, np.uint8)
 
-    # PIL releases the GIL in resize; thread across frames
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(work, range(len(frames))))
+    # PIL releases the GIL in resize; thread across frames (but a pool on a
+    # single-core host only adds contention — run serial there)
+    import os as _os
+    workers = min(8, _os.cpu_count() or 1)
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(work, range(len(frames))))
+    else:
+        for i in range(len(frames)):
+            work(i)
     return out
 
 

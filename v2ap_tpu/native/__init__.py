@@ -37,7 +37,11 @@ def lib() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO) and not _build():
+    src = os.path.join(_DIR, "v2ap_native.cpp")
+    stale = (os.path.exists(_SO) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_SO))
+    if (not os.path.exists(_SO) or stale) and not _build() \
+            and not os.path.exists(_SO):
         return None
     try:
         L = ctypes.CDLL(_SO)
@@ -62,6 +66,11 @@ def lib() -> Optional[ctypes.CDLL]:
     L.gray_resize.restype = None
     L.gray_resize.argtypes = [c_u8p, ctypes.c_int32, ctypes.c_int32,
                               ctypes.c_int32, ctypes.c_int32, c_f32p]
+    if hasattr(L, "clip_preprocess_batch"):   # absent in pre-r3 builds
+        L.clip_preprocess_batch.restype = None
+        L.clip_preprocess_batch.argtypes = [
+            c_u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, c_u8p]
     _LIB = L
     return _LIB
 
@@ -125,4 +134,21 @@ def gray_resize(rgb: np.ndarray, out_h: int, out_w: int) -> Optional[np.ndarray]
     h, w, _ = rgb.shape
     out = np.empty((out_h, out_w), np.float32)
     L.gray_resize(rgb, h, w, out_h, out_w, out)
+    return out
+
+
+def clip_preprocess_batch(frames: np.ndarray, size: int
+                          ) -> Optional[np.ndarray]:
+    """uint8 RGB (t, h, w, 3) -> PIL-exact short-edge bicubic resize +
+    center crop, uint8 (t, size, size, 3). None when the native lib is
+    unavailable or lacks the symbol (callers fall back to PIL)."""
+    L = lib()
+    if L is None or not hasattr(L, "clip_preprocess_batch"):
+        return None
+    frames = np.ascontiguousarray(frames, np.uint8)
+    t, h, w, c = frames.shape
+    if c != 3 or min(h, w) < 1:
+        return None
+    out = np.empty((t, size, size, 3), np.uint8)
+    L.clip_preprocess_batch(frames, t, h, w, size, out)
     return out

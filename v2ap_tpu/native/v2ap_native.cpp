@@ -198,4 +198,146 @@ void gray_resize(const uint8_t* rgb, int32_t h, int32_t w,
     }
 }
 
+// ------------------------------------------------ CLIP frame preprocessing
+
+// Pillow-exact bicubic resample (Resample.c): per-output-pixel coefficient
+// windows with antialias support scaling, 22-bit fixed-point accumulation,
+// uint8 intermediate between the horizontal and vertical passes. Replicating
+// the fixed-point math keeps the native fast path bit-compatible with the
+// PIL path used by HF's CLIPImageProcessor (the reference's preprocessing),
+// so swapping it in cannot move the CLIP features.
+namespace {
+
+constexpr int kPrecisionBits = 32 - 8 - 2;   // PIL PRECISION_BITS
+
+inline double bicubic_filter(double x) {      // PIL a = -0.5
+    constexpr double a = -0.5;
+    if (x < 0.0) x = -x;
+    if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+    if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+    return 0.0;
+}
+
+// Coefficient window per output position `xx` in [x0_out, x0_out+out_n):
+// PIL precompute_coeffs with the output shifted by a crop offset expressed
+// in *output* pixels (resize-then-crop == computing only the cropped pixels).
+void precompute_coeffs(int in_size, int out_size_full, int x0_out, int out_n,
+                       std::vector<int>& bounds, std::vector<int32_t>& kk,
+                       int* ksize_out) {
+    const double scale = (double)in_size / out_size_full;
+    const double filterscale = scale < 1.0 ? 1.0 : scale;
+    const double support = 2.0 * filterscale;   // bicubic support = 2
+    const int ksize = (int)std::ceil(support) * 2 + 1;
+    bounds.assign((size_t)out_n * 2, 0);
+    kk.assign((size_t)out_n * ksize, 0);
+    std::vector<double> prek(ksize);
+    for (int i = 0; i < out_n; ++i) {
+        const int xx = x0_out + i;
+        const double center = (xx + 0.5) * scale;
+        double ww = 0.0;
+        const double ss = 1.0 / filterscale;
+        int xmin = (int)(center - support + 0.5);
+        if (xmin < 0) xmin = 0;
+        int xmax = (int)(center + support + 0.5);
+        if (xmax > in_size) xmax = in_size;
+        const int n = xmax - xmin;
+        for (int x = 0; x < n; ++x) {
+            double w = bicubic_filter((x + xmin - center + 0.5) * ss);
+            prek[x] = w;
+            ww += w;
+        }
+        for (int x = 0; x < n; ++x) {
+            double v = prek[x] / ww * (double)(1 << kPrecisionBits);
+            kk[(size_t)i * ksize + x] =
+                (int32_t)(v < 0 ? v - 0.5 : v + 0.5);
+        }
+        for (int x = n; x < ksize; ++x) kk[(size_t)i * ksize + x] = 0;
+        bounds[(size_t)i * 2] = xmin;
+        bounds[(size_t)i * 2 + 1] = n;
+    }
+    *ksize_out = ksize;
+}
+
+inline uint8_t clip8(int64_t v) {
+    v >>= kPrecisionBits;
+    if (v < 0) return 0;
+    if (v > 255) return 255;
+    return (uint8_t)v;
+}
+
+}  // namespace
+
+// CLIP-style geometry for a batch of frames: resize shortest edge to `size`
+// (bicubic, antialiased, PIL-exact) then center-crop size x size. Input
+// uint8 RGB (t, h, w, 3) channels-last; output uint8 (t, size, size, 3).
+// Coefficient tables are shared across the batch (same geometry every frame).
+void clip_preprocess_batch(const uint8_t* frames, int32_t t, int32_t h,
+                           int32_t w, int32_t size, uint8_t* out) {
+    const int short_side = h < w ? h : w;
+    // PIL round() (banker's) only differs from round-half-up on exact .5,
+    // which needs w*size % short_side*2 == 0 — match python round():
+    const auto pyround = [](double v) {
+        double f = std::floor(v), r = v - f;
+        if (r > 0.5) return (int64_t)f + 1;
+        if (r < 0.5) return (int64_t)f;
+        return (int64_t)(std::fmod(f, 2.0) == 0.0 ? f : f + 1);  // half-even
+    };
+    const int nw = (int)pyround((double)w * size / short_side);
+    const int nh = (int)pyround((double)h * size / short_side);
+    const int left = (nw - size) / 2;
+    const int top = (nh - size) / 2;
+
+    int hks, vks;
+    std::vector<int> hb, vb;
+    std::vector<int32_t> hk, vk;
+    // horizontal: only the cropped columns; vertical: only cropped rows
+    precompute_coeffs(w, nw, left, size, hb, hk, &hks);
+    precompute_coeffs(h, nh, top, size, vb, vk, &vks);
+
+    // horizontal pass needs every source row that the vertical pass touches
+    int ymin = vb[0];
+    int ymax = vb[(size_t)(size - 1) * 2] + vb[(size_t)(size - 1) * 2 + 1];
+    const int rows = ymax - ymin;
+    std::vector<uint8_t> temp((size_t)rows * size * 3);
+
+    for (int32_t f = 0; f < t; ++f) {
+        const uint8_t* src = frames + (size_t)f * h * w * 3;
+        // horizontal: (rows, w, 3) -> (rows, size, 3), uint8 intermediate
+        for (int y = 0; y < rows; ++y) {
+            const uint8_t* row = src + (size_t)(y + ymin) * w * 3;
+            uint8_t* trow = temp.data() + (size_t)y * size * 3;
+            for (int x = 0; x < size; ++x) {
+                const int xmin = hb[(size_t)x * 2];
+                const int n = hb[(size_t)x * 2 + 1];
+                const int32_t* k = hk.data() + (size_t)x * hks;
+                int64_t s0 = 1 << (kPrecisionBits - 1);
+                int64_t s1 = s0, s2 = s0;
+                const uint8_t* p = row + (size_t)xmin * 3;
+                for (int i = 0; i < n; ++i) {
+                    s0 += (int64_t)p[3 * i] * k[i];
+                    s1 += (int64_t)p[3 * i + 1] * k[i];
+                    s2 += (int64_t)p[3 * i + 2] * k[i];
+                }
+                trow[3 * x] = clip8(s0);
+                trow[3 * x + 1] = clip8(s1);
+                trow[3 * x + 2] = clip8(s2);
+            }
+        }
+        // vertical: (rows, size, 3) -> (size, size, 3)
+        uint8_t* dst = out + (size_t)f * size * size * 3;
+        for (int y = 0; y < size; ++y) {
+            const int smin = vb[(size_t)y * 2] - ymin;
+            const int n = vb[(size_t)y * 2 + 1];
+            const int32_t* k = vk.data() + (size_t)y * vks;
+            uint8_t* drow = dst + (size_t)y * size * 3;
+            for (int x = 0; x < size * 3; ++x) {
+                int64_t s = 1 << (kPrecisionBits - 1);
+                for (int i = 0; i < n; ++i)
+                    s += (int64_t)temp[(size_t)(smin + i) * size * 3 + x] * k[i];
+                drow[x] = clip8(s);
+            }
+        }
+    }
+}
+
 }  // extern "C"
