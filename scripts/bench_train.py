@@ -65,7 +65,9 @@ def main(steps: int = 8, batch: int = 4) -> None:
     cfg = V2APConfig()
     # remat: full-size training state (f32 params + AdamW moments ~9 GB)
     # does not leave room for saved activations on a 16 GB chip
-    cfg = cfg.replace(model=dataclasses.replace(cfg.model, remat=True))
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, remat=True,
+        remat_policy=os.environ.get("V2AP_REMAT_POLICY", "dots")))
     b, n, nc = batch, 736, 16          # 736 latents (+32 registers = 768)
     model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
                                      with_video2roll=False, rngs=nnx.Rngs(0)))

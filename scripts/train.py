@@ -51,8 +51,12 @@ def build_config(args) -> "V2APConfig":
     cond_kw = {}
     if not args.no_remat and not args.tiny:
         # remat: the full-size model + f32 AdamW state needs recompute-
-        # backward to fit per-chip HBM (see ModelConfig.remat)
+        # backward to fit per-chip HBM (see ModelConfig.remat). The "dots"
+        # policy saves matmul outputs (~1.5 GB at 12x1024 batch 4) and only
+        # recomputes elementwise ops: measured 430 -> 369 ms/step (b=4),
+        # 705 -> 603 ms (b=8, 25.4% MFU) on one v5e chip.
         model_kw["remat"] = True
+        model_kw["remat_policy"] = args.remat_policy
     if args.video_encoder:
         cond_kw["video_encoder"] = args.video_encoder
         if args.video_encoder == "mixed":
@@ -105,6 +109,10 @@ def main() -> int:
                     help="defaults to jax.process_index() after "
                          "init_distributed (override for manual launches)")
     ap.add_argument("--num-hosts", type=int, default=None)
+    ap.add_argument("--remat-policy", choices=("dots", "full"),
+                    default="dots",
+                    help="checkpoint policy: 'dots' keeps matmul outputs "
+                         "(faster), 'full' recomputes everything (min HBM)")
     ap.add_argument("--no-remat", action="store_true",
                     help="keep all activations (faster per step, needs the "
                          "HBM headroom of a sharded/multi-chip run)")

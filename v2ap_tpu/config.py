@@ -74,6 +74,12 @@ class ModelConfig:
     # single 16 GB chip (f32 params + AdamW moments leave no room for saved
     # activations). No effect on inference.
     remat: bool = False
+    # remat policy: "full" recomputes everything (min memory);
+    # "dots" = jax.checkpoint_policies.dots_with_no_batch_dims_saveable —
+    # saves matmul outputs and recomputes only the cheap elementwise ops,
+    # trading ~1.5 GB of saved activations (12x1024, batch 4) for skipping
+    # most of the fwd recompute in the backward pass.
+    remat_policy: str = "full"
 
     @property
     def video_multi(self) -> float:

@@ -23,6 +23,7 @@ backbone traces into one XLA computation.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -173,6 +174,9 @@ def _layer_fwd(text_block, frames_block, cross_cond, audio_block,
 
 
 _layer_fwd_remat = nnx.remat(_layer_fwd, static_argnums=(15, 16))
+_layer_fwd_remat_dots = nnx.remat(
+    _layer_fwd, static_argnums=(15, 16),
+    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
 
 class TriStreamTransformer(nnx.Module):
@@ -267,7 +271,10 @@ class TriStreamTransformer(nnx.Module):
 
         skips = []
         collected = None
-        layer_fn = _layer_fwd_remat if cfg.remat else _layer_fwd
+        layer_fn = _layer_fwd
+        if cfg.remat:
+            layer_fn = (_layer_fwd_remat_dots if cfg.remat_policy == "dots"
+                        else _layer_fwd_remat)
         for ind in range(cfg.depth):
             text_block = self.text_blocks[ind]
             has_towers = text_block is not None
