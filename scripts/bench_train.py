@@ -71,7 +71,11 @@ def main(steps: int = 8, batch: int = 4) -> None:
     b, n, nc = batch, 736, 16          # 736 latents (+32 registers = 768)
     model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
                                      with_video2roll=False, rngs=nnx.Rngs(0)))
-    trainer = Trainer(model, TrainConfig(warmup_steps=10, decay_steps=10_000))
+    trainer = Trainer(model, TrainConfig(
+        warmup_steps=10, decay_steps=10_000,
+        # bf16 first moment frees ~1.5 GB for activations — needed to fit
+        # batch >= 16 on one 16 GB chip (V2AP_MU_BF16=1 to enable)
+        mu_bf16=os.environ.get("V2AP_MU_BF16", "0") == "1"))
 
     rng = np.random.default_rng(0)
     r = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))

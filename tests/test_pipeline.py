@@ -254,3 +254,35 @@ def test_shard_serving_matches_single_device(tmp_path):
                                 seed=0)
     assert sr == 24_000
     np.testing.assert_allclose(w_ref, w_sh, rtol=2e-4, atol=2e-5)
+
+
+def test_video_chunk_reader_matches_full_decode(tmp_path):
+    from v2ap_tpu.data import video_io
+    video = str(tmp_path / "chunks.mp4")
+    if not write_synthetic_video(video, frames=11, fps=5):
+        pytest.skip("cv2 video writer unavailable")
+    full, duration = video_io.read_video_frames(video)
+    reader = video_io.VideoChunkReader(video, chunk=4)
+    chunks = [c.copy() for c in reader]
+    assert [len(c) for c in chunks] == [4, 4, 3]
+    np.testing.assert_array_equal(np.concatenate(chunks), full)
+    assert reader.duration == pytest.approx(duration)
+
+
+def test_stream_decode_path_matches_default(pipeline, tmp_path, monkeypatch):
+    """V2AP_STREAM_DECODE=1 pipelines decode/preprocess per chunk; the
+    conditioning features (and so the audio) must be identical."""
+    import dataclasses
+    video = str(tmp_path / "stream.mp4")
+    if not write_synthetic_video(video):
+        pytest.skip("cv2 video writer unavailable")
+    old = pipeline.cfg
+    pipeline.cfg = old.replace(conditioning=dataclasses.replace(
+        old.conditioning, feature_cache=False))
+    try:
+        wav_default, _ = pipeline.generate(video, "test", steps=2, seed=3)
+        monkeypatch.setenv("V2AP_STREAM_DECODE", "1")
+        wav_stream, _ = pipeline.generate(video, "test", steps=2, seed=3)
+    finally:
+        pipeline.cfg = old
+    np.testing.assert_allclose(wav_default, wav_stream)

@@ -25,6 +25,55 @@ SAMPLE_RATE = 24_000
 FRAME_SIZE = 320
 
 
+class VideoChunkReader:
+    """Streaming decode: yields uint8 RGB chunks of up to ``chunk`` frames
+    so the serving pipeline can preprocess + dispatch each chunk while the
+    decoder works on the next (overlaps single-core host decode with device
+    tower compute). ``duration`` is valid after the iterator is exhausted."""
+
+    def __init__(self, path: str, chunk: int):
+        import cv2
+        self._cv2 = cv2
+        self.chunk = chunk
+        self.cap = cv2.VideoCapture(path)
+        self.ok = self.cap.isOpened()
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) if self.ok else 0.0
+        self.frames_read = 0
+        self.duration: Optional[float] = None
+
+    def __iter__(self):
+        if not self.ok:
+            return
+        cv2 = self._cv2
+        buf = None
+        while True:
+            if buf is None:
+                ok, frame = self.cap.read()
+                if not ok:
+                    break
+                buf = np.empty((self.chunk,) + frame.shape, np.uint8)
+                cv2.cvtColor(frame, cv2.COLOR_BGR2RGB, dst=buf[0])
+                n = 1
+            else:
+                n = 0
+            while n < self.chunk:
+                ok, frame = self.cap.read()
+                if not ok or frame.shape != buf.shape[1:]:
+                    break
+                cv2.cvtColor(frame, cv2.COLOR_BGR2RGB, dst=buf[n])
+                n += 1
+            if n == 0:
+                break
+            self.frames_read += n
+            yield buf[:n]
+            if n < self.chunk:
+                break
+            buf = np.empty_like(buf)     # previous chunk may still be in use
+        self.cap.release()
+        self.duration = (self.frames_read / self.fps if self.fps > 0
+                         else self.frames_read / 25.0)
+
+
 def read_video_frames(path: str, max_frames: Optional[int] = None
                       ) -> Tuple[Optional[np.ndarray], Optional[float]]:
     """Decode all frames -> (uint8 (t, H, W, 3) RGB, duration_seconds).

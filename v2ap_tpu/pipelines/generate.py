@@ -238,28 +238,20 @@ class V2APipeline:
         (the reference keeps per-encoder feature dirs, :1747-1783)."""
         from v2ap_tpu.data import video_io
 
+        import os as _os
+
         cache = video_io.clip_feature_cache_path(video_path, tower.name)
         if self.cfg.conditioning.feature_cache:
             feats, duration = video_io.load_feature_cache(cache)
             if feats is not None:
                 return feats, duration
-        if not frames_cache:
-            frames_cache.append(video_io.read_video_frames(video_path))
-        frames, duration = frames_cache[0]
-        if frames is None:
-            return None, None
-        px = tower.preprocess(frames)                 # uint8 geometry only
         mean = self._jnp.asarray(tower.mean, self._jnp.float32)
         std = self._jnp.asarray(tower.std, self._jnp.float32)
         if self._mesh is not None:                    # frame batch shards
             dp = self._mesh.shape[self._mesh.axis_names[0]]
             chunk = ((chunk + dp - 1) // dp) * dp
-        # dispatch every chunk before collecting any result: jax dispatch is
-        # async, so uploads and tower compute overlap instead of serialising
-        # on one host round-trip per chunk
-        pending = []
-        for i in range(0, len(px), chunk):
-            part = px[i: i + chunk]
+
+        def dispatch(part):
             pad = chunk - len(part)
             if pad:
                 part = np.concatenate(
@@ -267,8 +259,33 @@ class V2APipeline:
             dev = (self._jax.device_put(part, self._frame_sharding)
                    if self._frame_sharding is not None
                    else self._jnp.asarray(part))
-            pending.append((pad, self._tower_fwd(
-                tower.model, dev, mean, std)))
+            return pad, self._tower_fwd(tower.model, dev, mean, std)
+
+        # dispatch every chunk before collecting any result: jax dispatch is
+        # async, so uploads and tower compute overlap instead of serialising
+        # on one host round-trip per chunk
+        pending = []
+        stream = (_os.environ.get("V2AP_STREAM_DECODE", "0") == "1"
+                  and not frames_cache and len(self.towers) == 1)
+        if stream:
+            # chunk-pipelined: decode + preprocess chunk k on the host while
+            # the device runs the tower on chunk k-1 (opt-in; on 1-core
+            # tunneled hosts the RPC threads contend with the decoder)
+            reader = video_io.VideoChunkReader(video_path, chunk)
+            for frames_chunk in reader:
+                pending.append(dispatch(tower.preprocess(frames_chunk)))
+            duration = reader.duration
+            if not pending:
+                return None, None
+        else:
+            if not frames_cache:
+                frames_cache.append(video_io.read_video_frames(video_path))
+            frames, duration = frames_cache[0]
+            if frames is None:
+                return None, None
+            px = tower.preprocess(frames)             # uint8 geometry only
+            for i in range(0, len(px), chunk):
+                pending.append(dispatch(px[i: i + chunk]))
         last_pad = pending[-1][0]
         n_frames = len(pending) * chunk - last_pad
         # one device-side concat instead of one host transfer per chunk
