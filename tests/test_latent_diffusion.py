@@ -1,0 +1,257 @@
+"""AudioLDM latent-diffusion port: UNet parity vs the actual reference torch
+net, DDIM schedule parity vs the reference formulas, sampler behavior.
+
+The reference modules live under /root/reference/src/audioldm/latent_diffusion;
+importing them pulls the heavy audioldm ``__init__`` (soundfile, torchaudio,
+...), so the fixtures register a stub ``audioldm`` package whose
+``latent_diffusion`` subpackage resolves straight to the reference directory.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_LD = "/root/reference/src/audioldm/latent_diffusion"
+
+
+@pytest.fixture()
+def ref_modules():
+    torch = pytest.importorskip("torch")
+    saved = {k: sys.modules.get(k) for k in
+             ("audioldm", "audioldm.utils", "audioldm.latent_diffusion",
+              "omegaconf", "omegaconf.listconfig")}
+    pkg = types.ModuleType("audioldm")
+    pkg.__path__ = []
+    utils = types.ModuleType("audioldm.utils")
+    utils.instantiate_from_config = lambda *a, **k: None
+    sub = types.ModuleType("audioldm.latent_diffusion")
+    sub.__path__ = [REF_LD]
+    om = types.ModuleType("omegaconf")
+    oml = types.ModuleType("omegaconf.listconfig")
+
+    class ListConfig(list):
+        pass
+
+    oml.ListConfig = ListConfig
+    om.listconfig = oml
+    sys.modules.update({"audioldm": pkg, "audioldm.utils": utils,
+                        "audioldm.latent_diffusion": sub,
+                        "omegaconf": om, "omegaconf.listconfig": oml})
+    try:
+        import audioldm.latent_diffusion.openaimodel as om_mod
+        import audioldm.latent_diffusion.util as util_mod
+        yield types.SimpleNamespace(openaimodel=om_mod, util=util_mod,
+                                    torch=torch)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        for k in list(sys.modules):
+            if k.startswith("audioldm.latent_diffusion."):
+                sys.modules.pop(k)
+
+
+def _tiny_cfgs():
+    """Matched tiny configs: channels divisible by 32 so the reference's
+    GroupNorm32 accepts them."""
+    from v2ap_tpu.models.latent_diffusion import LDMConfig
+    jcfg = LDMConfig(in_channels=4, out_channels=4, model_channels=32,
+                     num_res_blocks=1, attention_resolutions=(1, 2),
+                     channel_mult=(1, 2), num_head_channels=16, film_dim=12,
+                     timesteps=40, latent_t=8, latent_f=4)
+    tkw = dict(image_size=8, in_channels=4, out_channels=4, model_channels=32,
+               attention_resolutions=[1, 2], num_res_blocks=1,
+               channel_mult=[1, 2], num_head_channels=16,
+               use_spatial_transformer=True, transformer_depth=1,
+               extra_film_condition_dim=12, extra_film_use_concat=True)
+    return jcfg, tkw
+
+
+@pytest.mark.smoke
+def test_ddim_schedule_matches_reference_formulas():
+    """Schedule tables vs the reference util.py:21-96 formulas, re-derived
+    here in pure numpy (no torch needed)."""
+    from v2ap_tpu.models.latent_diffusion import LDMConfig, make_betas, \
+        make_ddim_schedule
+
+    cfg = LDMConfig(timesteps=1000, linear_start=0.0015, linear_end=0.0195)
+    betas = make_betas(cfg)
+    ref_betas = np.linspace(0.0015 ** 0.5, 0.0195 ** 0.5, 1000) ** 2
+    np.testing.assert_allclose(betas, ref_betas, rtol=1e-12)
+
+    steps = 25
+    table = np.asarray(make_ddim_schedule(cfg, steps, eta=0.0))
+    acums = np.cumprod(1 - ref_betas)
+    ts = np.asarray(list(range(0, 1000, 1000 // steps))) + 1
+    a = acums[ts]
+    a_prev = np.asarray([acums[0]] + acums[ts[:-1]].tolist())
+    assert table.shape == (steps, 5)
+    np.testing.assert_allclose(table[::-1, 0], ts, atol=0)
+    np.testing.assert_allclose(table[::-1, 1], a, rtol=1e-6)
+    np.testing.assert_allclose(table[::-1, 2], a_prev, rtol=1e-6)
+    np.testing.assert_allclose(table[:, 3], 0.0, atol=0)   # eta=0 -> sigma=0
+
+
+@pytest.mark.smoke
+def test_unet_forward_shapes_and_zero_init():
+    import jax.numpy as jnp
+    from flax import nnx
+    from v2ap_tpu.models.latent_diffusion import LatentDiffusion, ldm_tiny_test
+
+    cfg = ldm_tiny_test()
+    m = LatentDiffusion(cfg, rngs=nnx.Rngs(0))
+    x = jnp.ones((2, cfg.latent_t, cfg.latent_f, cfg.in_channels))
+    film = jnp.ones((2, cfg.film_dim))
+    eps = m.unet(x, jnp.asarray([1, 5]), film=film)
+    assert eps.shape == x.shape
+    # conv_out is zero-init (reference zero_module) -> eps == 0 at init
+    np.testing.assert_allclose(np.asarray(eps), 0.0, atol=0)
+
+
+@pytest.mark.smoke
+def test_ddim_sample_and_loss():
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+    from v2ap_tpu.models.latent_diffusion import LatentDiffusion, ldm_tiny_test
+
+    cfg = ldm_tiny_test()
+    m = LatentDiffusion(cfg, rngs=nnx.Rngs(0))
+    xt = jax.random.normal(jax.random.key(1),
+                           (1, cfg.latent_t, cfg.latent_f, cfg.in_channels))
+    film = jax.random.normal(jax.random.key(2), (1, cfg.film_dim))
+    out = nnx.jit(
+        lambda m, xt, film: m.ddim_sample(xt, film=film, steps=5,
+                                          guidance_scale=2.5)
+    )(m, xt, film)
+    assert out.shape == xt.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+    # eps==0 at init => every step just rescales x: x_0 = x_T / sqrt(a_last)
+    loss = m.loss(xt, film=film, rng=jax.random.key(3))
+    assert np.isfinite(float(loss))
+    # guidance_scale=1 path (single forward) also runs
+    out1 = m.ddim_sample(xt, film=film, steps=3, guidance_scale=1.0)
+    assert out1.shape == xt.shape
+
+
+def test_unet_parity_with_torch_reference(ref_modules):
+    """Random reference weights -> converter -> identical eps prediction."""
+    import jax.numpy as jnp
+    from flax import nnx
+    from v2ap_tpu.models.latent_diffusion import UNet2D
+    from v2ap_tpu.utils.torch_convert import load_ldm_unet_from_torch
+
+    torch = ref_modules.torch
+    jcfg, tkw = _tiny_cfgs()
+    torch.manual_seed(0)
+    tnet = ref_modules.openaimodel.UNetModel(**tkw).eval()
+    # give the zero-init layers real values so parity covers them too
+    with torch.no_grad():
+        for p in tnet.parameters():
+            if p.abs().sum() == 0:
+                p.copy_(torch.randn_like(p) * 0.02)
+
+    jnet = UNet2D(jcfg, rngs=nnx.Rngs(1))
+    load_ldm_unet_from_torch(tnet, jnet)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 4, jcfg.latent_t, jcfg.latent_f)).astype(np.float32)
+    t = np.asarray([3, 17])
+    film = rng.normal(size=(2, jcfg.film_dim)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x), torch.from_numpy(t),
+                   y=torch.from_numpy(film)).numpy()
+    got = np.asarray(jnet(jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                          jnp.asarray(t), film=jnp.asarray(film)))
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), ref,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_timestep_embedding_matches_reference(ref_modules):
+    torch = ref_modules.torch
+    from v2ap_tpu.models.latent_diffusion import timestep_embedding
+
+    t = np.asarray([0, 1, 7, 999])
+    ref = ref_modules.util.timestep_embedding(torch.from_numpy(t), 32).numpy()
+    got = np.asarray(timestep_embedding(np.asarray(t, np.float32), 32))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_ldm_learns_eps_prediction():
+    """A few hundred tiny steps of eps-MSE must beat the trivial predictor
+    (loss 1.0) — guards the q_sample/emb wiring end to end."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+    from v2ap_tpu.models.latent_diffusion import LatentDiffusion, ldm_tiny_test
+
+    cfg = ldm_tiny_test()
+    m = LatentDiffusion(cfg, rngs=nnx.Rngs(0))
+    opt = nnx.Optimizer(m, optax.adam(2e-3), wrt=nnx.Param)
+
+    # deterministic dataset: x0 is a fixed pattern scaled by the film cond
+    base = np.asarray(np.random.default_rng(0).normal(
+        size=(1, cfg.latent_t, cfg.latent_f, cfg.in_channels)), np.float32)
+
+    @nnx.jit
+    def step(m, opt, rng):
+        rb, rl = jax.random.split(rng)
+        scale = jax.random.normal(rb, (4, 1, 1, 1))
+        x0 = scale * jnp.asarray(base)
+        film = jnp.broadcast_to(scale[:, 0, 0], (4, cfg.film_dim))
+        loss, grads = nnx.value_and_grad(
+            lambda m: m.loss(x0, film=film, rng=rl))(m)
+        opt.update(m, grads)
+        return loss
+
+    losses = [float(step(m, opt, jax.random.key(i))) for i in range(150)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-20:]) < 0.7 * np.mean(losses[:5]), (
+        np.mean(losses[:5]), np.mean(losses[-20:]))
+
+
+@pytest.mark.smoke
+def test_audioldm_backend_text_to_audio():
+    """CLAP -> DDIM -> VAE -> HiFi-GAN glue on tiny configs, one jit."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+    from v2ap_tpu.models.audioldm_vae import AudioLDMVAE, AudioLDMVAEConfig
+    from v2ap_tpu.models.clap import ClapModel, clap_tiny_test
+    from v2ap_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+    from v2ap_tpu.models.latent_diffusion import AudioLDMBackend, LDMConfig
+
+    rngs = nnx.Rngs(0)
+    vae = AudioLDMVAE(AudioLDMVAEConfig(mel_bins=8, base_channels=8,
+                                        channel_mults=(1, 2),
+                                        num_res_blocks=1, latent_channels=2,
+                                        groups=4), rngs=rngs)
+    voc = HiFiGANGenerator(HiFiGANConfig(
+        in_channels=8, upsample_initial_channel=32, upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),)), rngs=rngs)
+    a_cfg, t_cfg = clap_tiny_test()
+    clap = ClapModel(a_cfg, t_cfg, rngs=rngs)
+    backend = AudioLDMBackend(
+        LDMConfig(in_channels=2, out_channels=2, model_channels=16,
+                  num_res_blocks=1, attention_resolutions=(2,),
+                  channel_mult=(1, 2), num_head_channels=8,
+                  film_dim=a_cfg.projection_dim, timesteps=20,
+                  latent_t=8, latent_f=4),
+        clap=clap, vae=vae, vocoder=voc, rngs=rngs)
+
+    ids = jnp.asarray([[3, 5, 9, 1]], jnp.int32)
+    mask = jnp.ones_like(ids)
+    u_ids = jnp.asarray([[1, 0, 0, 0]], jnp.int32)
+    u_mask = jnp.asarray([[1, 0, 0, 0]], jnp.int32)
+    wav = nnx.jit(
+        lambda b, ids, mask, ui, um: b.text_to_audio(
+            ids, mask, ui, um, steps=4, rng=jax.random.key(0))
+    )(backend, ids, mask, u_ids, u_mask)
+    assert wav.shape == (1, 16 * 8)        # t/2 VAE upsample * hop 8
+    assert np.all(np.isfinite(np.asarray(wav)))

@@ -1,0 +1,448 @@
+"""AudioLDM-style latent diffusion (UNet + DDIM) in JAX/Flax-NNX.
+
+Completes the last SURVEY §2 inventory row: the reference vendors the full
+AudioLDM inference package under ``src/audioldm/latent_diffusion/``
+(openaimodel.py UNetModel :432-852, attention.py SpatialTransformer :413-478,
+ddim.py DDIMSampler :15-378, ddpm.py DDPM/DiffusionWrapper :42-87, util.py
+schedules :21-96). Together with the already-ported VAE
+(``models/audioldm_vae.py``), HiFi-GAN (``models/hifigan.py``) and CLAP
+(``models/clap.py``), this makes the vendored AudioLDM text-to-audio backend
+available end to end.
+
+TPU-first re-design, not a translation:
+  * NHWC layout (XLA TPU conv layout; the reference is NCHW torch),
+    explicit (1,1) padding so geometry matches torch ``padding=1`` exactly
+    for both stride-1 and stride-2 convs;
+  * the DDIM loop is one ``lax.scan`` over host-precomputed per-step
+    (alpha, alpha_prev, sigma) tables — the reference loops in Python with a
+    tqdm iterator (ddim.py:205-246);
+  * classifier-free guidance runs cond+uncond in ONE batch-doubled forward
+    per step (the reference also batch-doubles, ddim.py:328-334);
+  * attention is plain einsum (spatial sequences here are <=4k tokens and
+    XLA fuses QK^T/softmax/PV well at these sizes; the CFM's Pallas kernel
+    targets much longer sequences).
+
+AudioLDM specifics preserved: FiLM global conditioning (CLAP 512-d) embedded
+and CONCATENATED with the time embedding (openaimodel.py:536-546,836-839 with
+``extra_film_use_concat=True`` per utils.py:148), sqrt-space linear beta
+schedule (util.py:24-30), uniform DDIM timestep subset shifted by +1
+(util.py:56-76), eps-parameterization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+
+@dataclasses.dataclass(frozen=True)
+class LDMConfig:
+    in_channels: int = 8
+    out_channels: int = 8
+    model_channels: int = 128
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (8, 4, 2)
+    channel_mult: Tuple[int, ...] = (1, 2, 3, 5)
+    num_head_channels: int = 32
+    transformer_depth: int = 1
+    film_dim: int = 512                  # CLAP embedding; 0 disables FiLM
+    context_dim: int = 0                 # cross-attention context; 0 = none
+    # DDPM schedule (reference utils.py:130-133)
+    timesteps: int = 1000
+    linear_start: float = 0.0015
+    linear_end: float = 0.0195
+    # latent geometry (16 kHz mel 64 bins -> VAE /4: t=256, f=16 for 10 s)
+    latent_t: int = 256
+    latent_f: int = 16
+    scale_factor: float = 1.0            # z-scale (ldm.py:62-64, scale_by_std)
+
+
+def ldm_s_full() -> LDMConfig:
+    """audioldm-s-full (reference utils.py:144-158)."""
+    return LDMConfig()
+
+
+def ldm_tiny_test() -> LDMConfig:
+    return LDMConfig(in_channels=4, out_channels=4, model_channels=16,
+                     num_res_blocks=1, attention_resolutions=(2,),
+                     channel_mult=(1, 2), num_head_channels=8, film_dim=12,
+                     timesteps=20, latent_t=16, latent_f=8)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int,
+                       max_period: float = 10_000.0) -> jnp.ndarray:
+    """Sinusoidal embedding, [cos|sin] order (reference util.py:173-196 —
+    note it concatenates cos FIRST, unlike the usual DiT order)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def _conv3(cin, cout, *, stride=1, zero=False, rngs):
+    k = dict(kernel_size=(3, 3), strides=(stride, stride),
+             padding=((1, 1), (1, 1)), rngs=rngs)
+    conv = nnx.Conv(cin, cout, **k)
+    if zero:                              # zero_module (reference util.py:245)
+        conv.kernel.value = jnp.zeros_like(conv.kernel.value)
+        conv.bias.value = jnp.zeros_like(conv.bias.value)
+    return conv
+
+
+def _gn(ch, *, rngs):
+    return nnx.GroupNorm(ch, num_groups=32 if ch % 32 == 0 else min(ch, 8),
+                         epsilon=1e-5, rngs=rngs)
+
+
+class ResBlock(nnx.Module):
+    """GN-SiLU-conv, +time/FiLM emb, GN-SiLU-zeroconv, residual
+    (reference openaimodel.py:175-286, use_scale_shift_norm=False path)."""
+
+    def __init__(self, cin: int, emb_dim: int, cout: int, *, rngs: nnx.Rngs):
+        self.norm1 = _gn(cin, rngs=rngs)
+        self.conv1 = _conv3(cin, cout, rngs=rngs)
+        self.emb = nnx.Linear(emb_dim, cout, rngs=rngs)
+        self.norm2 = _gn(cout, rngs=rngs)
+        self.conv2 = _conv3(cout, cout, zero=True, rngs=rngs)
+        self.skip = (nnx.Linear(cin, cout, rngs=rngs)   # 1x1 conv == Linear
+                     if cin != cout else None)
+
+    def __call__(self, x, emb):
+        h = self.conv1(nnx.silu(self.norm1(x)))
+        h = h + self.emb(nnx.silu(emb))[:, None, None, :]
+        h = self.conv2(nnx.silu(self.norm2(h)))
+        return (self.skip(x) if self.skip is not None else x) + h
+
+
+def _attend(q, k, v, heads: int):
+    """(b, n, h*d) x (b, m, h*d) -> (b, n, h*d) multi-head attention."""
+    b, n, hd = q.shape
+    d = hd // heads
+    q = q.reshape(b, n, heads, d)
+    k = k.reshape(b, -1, heads, d)
+    v = v.reshape(b, -1, heads, d)
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(d)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", p, v).reshape(b, n, hd)
+
+
+class CrossAttention(nnx.Module):
+    """reference attention.py:149-324 (bias-free qkv, biased out proj)."""
+
+    def __init__(self, dim: int, ctx_dim: int, heads: int, *, rngs: nnx.Rngs):
+        self.heads = heads
+        self.to_q = nnx.Linear(dim, dim, use_bias=False, rngs=rngs)
+        self.to_k = nnx.Linear(ctx_dim, dim, use_bias=False, rngs=rngs)
+        self.to_v = nnx.Linear(ctx_dim, dim, use_bias=False, rngs=rngs)
+        self.to_out = nnx.Linear(dim, dim, rngs=rngs)
+
+    def __call__(self, x, context=None):
+        c = x if context is None else context
+        return self.to_out(_attend(self.to_q(x), self.to_k(c), self.to_v(c),
+                                   self.heads))
+
+
+class GEGLUFeedForward(nnx.Module):
+    """reference attention.py:37-63 (glu=True)."""
+
+    def __init__(self, dim: int, *, rngs: nnx.Rngs):
+        self.proj = nnx.Linear(dim, dim * 8, rngs=rngs)
+        self.out = nnx.Linear(dim * 4, dim, rngs=rngs)
+
+    def __call__(self, x):
+        a, gate = jnp.split(self.proj(x), 2, axis=-1)
+        return self.out(a * nnx.gelu(gate))
+
+
+class TransformerBlock(nnx.Module):
+    """pre-LN self-attn, cross-attn (self if no context), GEGLU ff
+    (reference attention.py:370-410)."""
+
+    def __init__(self, dim: int, ctx_dim: int, heads: int, *, rngs: nnx.Rngs):
+        self.norm1 = nnx.LayerNorm(dim, rngs=rngs)
+        self.attn1 = CrossAttention(dim, dim, heads, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(dim, rngs=rngs)
+        self.attn2 = CrossAttention(dim, ctx_dim or dim, heads, rngs=rngs)
+        self.norm3 = nnx.LayerNorm(dim, rngs=rngs)
+        self.ff = GEGLUFeedForward(dim, rngs=rngs)
+
+    def __call__(self, x, context=None):
+        x = x + self.attn1(self.norm1(x))
+        x = x + self.attn2(self.norm2(x), context)
+        return x + self.ff(self.norm3(x))
+
+
+class SpatialTransformer(nnx.Module):
+    """GN -> 1x1 in -> transformer blocks over (h*w) tokens -> zero 1x1 out,
+    residual (reference attention.py:413-478)."""
+
+    def __init__(self, ch: int, heads: int, depth: int, ctx_dim: int, *,
+                 rngs: nnx.Rngs):
+        self.norm = _gn(ch, rngs=rngs)
+        self.proj_in = nnx.Linear(ch, ch, rngs=rngs)
+        self.blocks = nnx.List([TransformerBlock(ch, ctx_dim, heads, rngs=rngs)
+                                for _ in range(depth)])
+        self.proj_out = nnx.Linear(ch, ch, rngs=rngs)
+        self.proj_out.kernel.value = jnp.zeros_like(self.proj_out.kernel.value)
+        self.proj_out.bias.value = jnp.zeros_like(self.proj_out.bias.value)
+
+    def __call__(self, x, context=None):
+        b, h, w, c = x.shape
+        t = self.proj_in(self.norm(x)).reshape(b, h * w, c)
+        for blk in self.blocks:
+            t = blk(t, context)
+        return x + self.proj_out(t).reshape(b, h, w, c)
+
+
+class Downsample(nnx.Module):
+    def __init__(self, ch: int, *, rngs: nnx.Rngs):
+        self.conv = _conv3(ch, ch, stride=2, rngs=rngs)
+
+    def __call__(self, x, emb=None, context=None):
+        return self.conv(x)
+
+
+class Upsample(nnx.Module):
+    def __init__(self, ch: int, *, rngs: nnx.Rngs):
+        self.conv = _conv3(ch, ch, rngs=rngs)
+
+    def __call__(self, x, emb=None, context=None):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)   # nearest x2
+        return self.conv(x)
+
+
+class _Block(nnx.Module):
+    """One TimestepEmbedSequential: optional ResBlock + optional attention
+    (+ optional up/down), mirroring the reference's layer grouping so the
+    weight converter can zip the two structures."""
+
+    def __init__(self, layers):
+        self.layers = nnx.List(layers)
+
+    def __call__(self, x, emb, context=None):
+        for layer in self.layers:
+            if isinstance(layer, ResBlock):
+                x = layer(x, emb)
+            elif isinstance(layer, SpatialTransformer):
+                x = layer(x, context)
+            else:
+                x = layer(x)
+        return x
+
+
+class UNet2D(nnx.Module):
+    """The AudioLDM UNet (reference openaimodel.py:432-852), NHWC."""
+
+    def __init__(self, cfg: LDMConfig, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        mc = cfg.model_channels
+        ted = mc * 4
+        self.time_dense1 = nnx.Linear(mc, ted, rngs=rngs)
+        self.time_dense2 = nnx.Linear(ted, ted, rngs=rngs)
+        if cfg.film_dim:
+            # FiLM embedding concatenated with the time embedding
+            # (extra_film_use_concat=True, openaimodel.py:536-546)
+            self.film_emb = nnx.Linear(cfg.film_dim, ted, rngs=rngs)
+        emb_dim = ted * 2 if cfg.film_dim else ted
+        ctx = cfg.context_dim if (cfg.context_dim and not cfg.film_dim) else 0
+
+        def attn(ch):
+            return SpatialTransformer(ch, ch // cfg.num_head_channels,
+                                      cfg.transformer_depth, ctx, rngs=rngs)
+
+        self.conv_in = _conv3(cfg.in_channels, mc, rngs=rngs)
+        self.input_blocks = nnx.List()
+        chans = [mc]
+        ch, ds = mc, 1
+        for level, mult in enumerate(cfg.channel_mult):
+            for _ in range(cfg.num_res_blocks):
+                layers = [ResBlock(ch, emb_dim, mult * mc, rngs=rngs)]
+                ch = mult * mc
+                if ds in cfg.attention_resolutions:
+                    layers.append(attn(ch))
+                self.input_blocks.append(_Block(layers))
+                chans.append(ch)
+            if level != len(cfg.channel_mult) - 1:
+                self.input_blocks.append(_Block([Downsample(ch, rngs=rngs)]))
+                chans.append(ch)
+                ds *= 2
+        self.middle_block = _Block([ResBlock(ch, emb_dim, ch, rngs=rngs),
+                                    attn(ch),
+                                    ResBlock(ch, emb_dim, ch, rngs=rngs)])
+        self.output_blocks = nnx.List()
+        for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+            for i in range(cfg.num_res_blocks + 1):
+                ich = chans.pop()
+                layers = [ResBlock(ch + ich, emb_dim, mult * mc, rngs=rngs)]
+                ch = mult * mc
+                if ds in cfg.attention_resolutions:
+                    layers.append(attn(ch))
+                if level and i == cfg.num_res_blocks:
+                    layers.append(Upsample(ch, rngs=rngs))
+                    ds //= 2
+                self.output_blocks.append(_Block(layers))
+        self.norm_out = _gn(ch, rngs=rngs)
+        self.conv_out = _conv3(ch, cfg.out_channels, zero=True, rngs=rngs)
+
+    def __call__(self, x, t, *, film=None, context=None):
+        """x (b, T, F, C) latents, t (b,) int timesteps, film (b, film_dim),
+        context (b, m, context_dim). Returns eps prediction, same shape."""
+        emb = self.time_dense2(nnx.silu(
+            self.time_dense1(timestep_embedding(t, self.cfg.model_channels))))
+        if self.cfg.film_dim:
+            assert film is not None, "film conditioning required"
+            emb = jnp.concatenate([emb, self.film_emb(film)], axis=-1)
+        h = self.conv_in(x)
+        hs = [h]
+        for blk in self.input_blocks:
+            h = blk(h, emb, context)
+            hs.append(h)
+        h = self.middle_block(h, emb, context)
+        for blk in self.output_blocks:
+            h = blk(jnp.concatenate([h, hs.pop()], axis=-1), emb, context)
+        return self.conv_out(nnx.silu(self.norm_out(h)))
+
+
+# ------------------------------------------------------------------ schedules
+
+def make_betas(cfg: LDMConfig) -> np.ndarray:
+    """sqrt-space linear schedule (reference util.py:24-30)."""
+    return np.linspace(cfg.linear_start ** 0.5, cfg.linear_end ** 0.5,
+                       cfg.timesteps, dtype=np.float64) ** 2
+
+
+def make_ddim_schedule(cfg: LDMConfig, steps: int, eta: float = 0.0):
+    """Per-step tables (t, a_t, a_prev, sigma, sqrt(1-a_t)) in SAMPLING order
+    (reference util.py:56-96: uniform subset + 1, sigmas per DDIM paper)."""
+    alphas_cum = np.cumprod(1.0 - make_betas(cfg))
+    c = cfg.timesteps // steps
+    ts = np.arange(0, cfg.timesteps, c) + 1            # ascending
+    a = alphas_cum[ts]
+    a_prev = np.concatenate([[alphas_cum[0]], alphas_cum[ts[:-1]]])
+    sigma = eta * np.sqrt((1 - a_prev) / (1 - a) * (1 - a / a_prev))
+    table = np.stack([ts.astype(np.float64), a, a_prev, sigma,
+                      np.sqrt(1.0 - a)], axis=1)[::-1]  # sampling order
+    return jnp.asarray(table.copy(), jnp.float32)
+
+
+class LatentDiffusion(nnx.Module):
+    """DDPM wrapper + DDIM sampler (reference ddpm.py DDPM / ddim.py
+    DDIMSampler / ldm.py LatentDiffusion, film conditioning)."""
+
+    def __init__(self, cfg: LDMConfig | None = None, *, rngs: nnx.Rngs):
+        self.cfg = cfg or LDMConfig()
+        self.unet = UNet2D(self.cfg, rngs=rngs)
+        ac = np.cumprod(1.0 - make_betas(self.cfg))
+        self.sqrt_ac = nnx.Variable(jnp.asarray(np.sqrt(ac), jnp.float32))
+        self.sqrt_1mac = nnx.Variable(
+            jnp.asarray(np.sqrt(1.0 - ac), jnp.float32))
+
+    # ---------------------------------------------------------------- train
+    def q_sample(self, x0, t, noise):
+        """forward diffusion (reference ddpm.py q_sample)."""
+        shape = (-1,) + (1,) * (x0.ndim - 1)
+        return (self.sqrt_ac[...][t].reshape(shape) * x0
+                + self.sqrt_1mac[...][t].reshape(shape) * noise)
+
+    def loss(self, x0, *, film=None, context=None, rng) -> jnp.ndarray:
+        """eps-prediction MSE (reference ddpm.py p_losses, loss_type l2)."""
+        rt, rn = jax.random.split(rng)
+        t = jax.random.randint(rt, (x0.shape[0],), 0, self.cfg.timesteps)
+        noise = jax.random.normal(rn, x0.shape, x0.dtype)
+        eps = self.unet(self.q_sample(x0, t, noise), t, film=film,
+                        context=context)
+        return jnp.mean((eps - noise) ** 2)
+
+    # --------------------------------------------------------------- sample
+    def ddim_sample(self, x_t, *, film, film_uncond=None, steps: int = 25,
+                    guidance_scale: float = 2.5, eta: float = 0.0,
+                    rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """DDIM sampling with batch-doubled classifier-free guidance, as one
+        ``lax.scan`` (reference ddim.py:152-378). ``film_uncond`` is the
+        unconditional CLAP embedding (zeros if omitted)."""
+        b = x_t.shape[0]
+        table = make_ddim_schedule(self.cfg, steps, eta)
+        cfg_on = guidance_scale != 1.0 and film is not None
+        if cfg_on:
+            film_in = jnp.concatenate(
+                [film_uncond if film_uncond is not None
+                 else jnp.zeros_like(film), film])
+        else:
+            film_in = film
+        rng = jax.random.key(0) if rng is None else rng
+        graphdef, state = nnx.split(self)
+
+        def step(carry, row):
+            x, key = carry
+            t_f, a, a_prev, sigma, sq1ma = (row[0], row[1], row[2], row[3],
+                                            row[4])
+            m = nnx.merge(graphdef, state)
+            t = jnp.full((x.shape[0],), t_f.astype(jnp.int32))
+            if cfg_on:
+                eps2 = m.unet(jnp.concatenate([x, x]),
+                              jnp.concatenate([t, t]), film=film_in)
+                eps_u, eps_c = eps2[:b], eps2[b:]
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+            else:
+                eps = m.unet(x, t, film=film_in)
+            pred_x0 = (x - sq1ma * eps) / jnp.sqrt(a)
+            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma ** 2, 0.0)) * eps
+            key, sub = jax.random.split(key)
+            noise = sigma * jax.random.normal(sub, x.shape, x.dtype)
+            return (jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise, key), None
+
+        (x, _), _ = jax.lax.scan(step, (x_t, rng), table)
+        return x
+
+
+class AudioLDMBackend(nnx.Module):
+    """End-to-end AudioLDM text-to-audio: CLAP text embedding -> FiLM-
+    conditioned DDIM sampling -> VAE mel decode -> HiFi-GAN waveform.
+
+    The reference reaches this stack through ``audioldm.pipeline.text_to_audio``
+    (pipeline.py:107-143: CLAP cond_stage -> LatentDiffusion.generate_sample ->
+    AutoencoderKL decode -> HiFi-GAN vocoder). Here every stage is the JAX
+    port and the whole sample+decode path jits as one program.
+    """
+
+    def __init__(self, cfg: LDMConfig | None = None, *, clap=None, vae=None,
+                 vocoder=None, rngs: nnx.Rngs):
+        from v2ap_tpu.models.audioldm_vae import AudioLDMVAE
+        from v2ap_tpu.models.clap import ClapModel
+        from v2ap_tpu.models.hifigan import HiFiGANGenerator
+
+        self.ldm = LatentDiffusion(cfg, rngs=rngs)
+        self.clap = clap or ClapModel(rngs=rngs)
+        self.vae = vae or AudioLDMVAE(rngs=rngs)
+        self.vocoder = vocoder or HiFiGANGenerator(rngs=rngs)
+
+    def text_to_audio(self, ids: jnp.ndarray, mask: jnp.ndarray,
+                      uncond_ids: jnp.ndarray, uncond_mask: jnp.ndarray, *,
+                      steps: int = 25, guidance_scale: float = 2.5,
+                      rng: jax.Array) -> jnp.ndarray:
+        """Tokenized prompts (b, m) -> waveform (b, t) @ 16 kHz. The
+        unconditional row is the CLAP embedding of "" (the reference's
+        unconditional conditioning, ldm.py:140-150)."""
+        cfg = self.ldm.cfg
+        film = self.clap.get_text_features(ids, mask)
+        film_u = self.clap.get_text_features(uncond_ids, uncond_mask)
+        film_u = jnp.broadcast_to(film_u, film.shape)
+        rx, rs = jax.random.split(rng)
+        x_t = jax.random.normal(
+            rx, (film.shape[0], cfg.latent_t, cfg.latent_f, cfg.in_channels))
+        z = self.ldm.ddim_sample(x_t, film=film, film_uncond=film_u,
+                                 steps=steps, guidance_scale=guidance_scale,
+                                 rng=rs)
+        mel = self.vae.decode(z / cfg.scale_factor)
+        return self.vocoder(mel)

@@ -412,3 +412,92 @@ def load_vocos_from_state_dict(state_dict, jax_model) -> None:
     ln(jax_model.final_norm, "backbone.final_layer_norm")
     jax_model.head.kernel[...] = sd["head.out.weight"].T
     jax_model.head.bias[...] = sd["head.out.bias"]
+
+
+# ------------------------------------------------------------------ ldm unet
+
+def load_ldm_unet_from_torch(torch_unet, jax_unet) -> None:
+    """Copy weights from the reference AudioLDM ``UNetModel``
+    (audioldm/latent_diffusion/openaimodel.py:432) into
+    ``v2ap_tpu.models.latent_diffusion.UNet2D`` in place.
+
+    Layout moves: Conv2d (out,in,kh,kw) -> (kh,kw,in,out); 1x1 convs land in
+    ``nnx.Linear`` (in,out); torch NCHW modules map onto the NHWC UNet."""
+    from v2ap_tpu.models import latent_diffusion as ldm
+
+    def lin(jmod, tmod):
+        jmod.kernel[...] = _t2j(tmod.weight).T
+        if getattr(tmod, "bias", None) is not None:
+            jmod.bias[...] = _t2j(tmod.bias)
+
+    def conv(jmod, tmod):
+        jmod.kernel[...] = jnp.transpose(_t2j(tmod.weight), (2, 3, 1, 0))
+        jmod.bias[...] = _t2j(tmod.bias)
+
+    def conv1x1_as_linear(jmod, tmod):
+        jmod.kernel[...] = _t2j(tmod.weight)[:, :, 0, 0].T
+        jmod.bias[...] = _t2j(tmod.bias)
+
+    def norm(jmod, tmod):
+        jmod.scale[...] = _t2j(tmod.weight)
+        jmod.bias[...] = _t2j(tmod.bias)
+
+    def resblock(jmod, tmod):
+        norm(jmod.norm1, tmod.in_layers[0])
+        conv(jmod.conv1, tmod.in_layers[2])
+        lin(jmod.emb, tmod.emb_layers[1])
+        norm(jmod.norm2, tmod.out_layers[0])
+        conv(jmod.conv2, tmod.out_layers[3])
+        if jmod.skip is not None:
+            conv1x1_as_linear(jmod.skip, tmod.skip_connection)
+
+    def attention(jmod, tmod):
+        lin(jmod.to_q, tmod.to_q)
+        lin(jmod.to_k, tmod.to_k)
+        lin(jmod.to_v, tmod.to_v)
+        lin(jmod.to_out, tmod.to_out[0])
+
+    def spatial(jmod, tmod):
+        norm(jmod.norm, tmod.norm)
+        conv1x1_as_linear(jmod.proj_in, tmod.proj_in)
+        conv1x1_as_linear(jmod.proj_out, tmod.proj_out)
+        for jb, tb in zip(jmod.blocks, tmod.transformer_blocks):
+            norm(jb.norm1, tb.norm1)
+            norm(jb.norm2, tb.norm2)
+            norm(jb.norm3, tb.norm3)
+            attention(jb.attn1, tb.attn1)
+            attention(jb.attn2, tb.attn2)
+            lin(jb.ff.proj, tb.ff.net[0].proj)
+            lin(jb.ff.out, tb.ff.net[2])
+
+    def block(jblk, tseq):
+        for jl, tl in zip(jblk.layers, tseq):
+            tname = type(tl).__name__
+            if isinstance(jl, ldm.ResBlock):
+                assert tname == "ResBlock", tname
+                resblock(jl, tl)
+            elif isinstance(jl, ldm.SpatialTransformer):
+                assert tname == "SpatialTransformer", tname
+                spatial(jl, tl)
+            elif isinstance(jl, ldm.Downsample):
+                assert tname == "Downsample", tname
+                conv(jl.conv, tl.op)
+            elif isinstance(jl, ldm.Upsample):
+                assert tname == "Upsample", tname
+                conv(jl.conv, tl.conv)
+        assert len(jblk.layers) == len(tseq), (len(jblk.layers), len(tseq))
+
+    lin(jax_unet.time_dense1, torch_unet.time_embed[0])
+    lin(jax_unet.time_dense2, torch_unet.time_embed[2])
+    if jax_unet.cfg.film_dim:
+        lin(jax_unet.film_emb, torch_unet.film_emb)
+    conv(jax_unet.conv_in, torch_unet.input_blocks[0][0])
+    assert len(jax_unet.input_blocks) == len(torch_unet.input_blocks) - 1
+    for jblk, tseq in zip(jax_unet.input_blocks, list(torch_unet.input_blocks)[1:]):
+        block(jblk, tseq)
+    block(jax_unet.middle_block, torch_unet.middle_block)
+    assert len(jax_unet.output_blocks) == len(torch_unet.output_blocks)
+    for jblk, tseq in zip(jax_unet.output_blocks, torch_unet.output_blocks):
+        block(jblk, tseq)
+    norm(jax_unet.norm_out, torch_unet.out[0])
+    conv(jax_unet.conv_out, torch_unet.out[2])
