@@ -9,7 +9,7 @@ conditioning drift compare to the f32->bf16 drift already accepted as the
 serving default?
 
 Variants probed:
-  bf16       cast_params(bf16), lax.dot_general        (current default)
+  bf16       bf16 compute dtype, f32 params/LN          (current default)
   int8       bf16 params + AQT int8 on every nnx.Linear (current opt-in)
   int8_mlp   int8 on the ViT MLP Linears only (qkvo + projection stay bf16)
   int8_skip_last4  int8 everywhere except the last 4 encoder layers
@@ -31,37 +31,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     import jax
+    if os.environ.get("V2AP_PROBE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from flax import nnx
 
-    from v2ap_tpu.utils.jitting import create_model, enable_compile_cache, \
-        cast_params
-    from v2ap_tpu.models.clip_vit import CLIPVisionTower, device_normalize, \
-        clip_vit_bigG
+    from v2ap_tpu.utils.jitting import create_model, enable_compile_cache
+    from v2ap_tpu.models.clip_vit import CLIPVisionModel, device_normalize, \
+        clip_vit_bigg
     from v2ap_tpu.utils.quantize import make_int8_dot_general
 
     enable_compile_cache()
-    ccfg = clip_vit_bigG()
-    tower = create_model(lambda: CLIPVisionTower(ccfg, rngs=nnx.Rngs(3)))
+    import dataclasses
+    ccfg = clip_vit_bigg()                       # serving default: bf16 compute
+    f32_cfg = dataclasses.replace(ccfg, dtype="float32")
+    # same seed -> identical f32 params; only the compute dtype differs
+    tower = create_model(lambda: CLIPVisionModel(f32_cfg, rngs=nnx.Rngs(3)))
 
     # 64 frames of the bench clip's statistics (rolling random base)
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
-    px = np.stack([np.roll(base, 3 * i, axis=1) for i in range(64)])
+    nf = int(os.environ.get("V2AP_PROBE_FRAMES", "64"))
+    px = np.stack([np.roll(base, 3 * i, axis=1) for i in range(nf)])
     mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073], jnp.float32)
     std = jnp.asarray([0.26862954, 0.26130258, 0.27577711], jnp.float32)
     dev = jnp.asarray(px)
 
     fwd = nnx.jit(lambda m, p: m(device_normalize(p, mean, std)))
 
+    reps = 0 if os.environ.get("V2AP_PROBE_CPU") == "1" else 3
+
     def run(label: str):
+        t0 = time.perf_counter()
         out = np.asarray(fwd(tower, dev), np.float32)
-        times = []
-        for _ in range(3):
+        times = [time.perf_counter() - t0]          # compile-inclusive
+        for _ in range(reps):
             t0 = time.perf_counter()
             _ = np.asarray(fwd(tower, dev))
             times.append(time.perf_counter() - t0)
-        return out, float(np.median(times))
+        return out, float(np.median(times[-max(reps, 1):]))
 
     int8_dg = make_int8_dot_general()
     lax_dg = jax.lax.dot_general
@@ -83,7 +91,10 @@ def main() -> None:
         return round(float(np.sqrt(np.mean((feats - f32_feats) ** 2))) / denom,
                      5)
 
-    cast_params(tower, jnp.bfloat16)
+    # serving default: bf16 COMPUTE dtype (f32 params cast inside ops, LN in
+    # f32 — models/clip_vit.py) — rebuild with the same seed
+    tower = create_model(lambda: CLIPVisionModel(ccfg, rngs=nnx.Rngs(3)))
+    fwd = nnx.jit(lambda m, p: m(device_normalize(p, mean, std)))
     feats, result["bf16_s"] = run("bf16")
     result["bf16_drift"] = drift(feats)
 

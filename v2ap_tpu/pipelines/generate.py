@@ -129,10 +129,17 @@ class V2APipeline:
             cast_params(self.t5, jnp.bfloat16)
             for tower in self.towers:
                 cast_params(tower.model, jnp.bfloat16)
-        # opt-in int8 matmuls for the frozen vision towers (MXU int8 ~2x
-        # bf16 on v5e; dynamic-range quantization via AQT)
+        # int8 matmuls for the frozen vision towers — the SERVING DEFAULT
+        # (V2AP_INT8_TOWERS=0 restores bf16 reference-parity mode). int8 runs
+        # the MXU at ~2x the bf16 rate on v5e and the towers dominate cold
+        # end-to-end serving. Quality bound (scripts/probe_tower_drift.py,
+        # per-channel AbsMax DRQ on bigG): conditioning features drift 2.95%
+        # rel-rms vs f32 — about 2x the 1.39% drift the bf16 compute dtype
+        # (the uncontested previous default) already incurs. Training, eval
+        # and the parity tests never quantize; end-audio impact should be
+        # re-validated once real checkpoints are converted (PARITY.md).
         if quantize_towers is None:
-            quantize_towers = os.environ.get("V2AP_INT8_TOWERS", "0") == "1"
+            quantize_towers = os.environ.get("V2AP_INT8_TOWERS", "1") != "0"
         if quantize_towers:
             from v2ap_tpu.utils.quantize import quantize_linears_int8
             for tower in self.towers:

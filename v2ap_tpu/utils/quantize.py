@@ -2,12 +2,21 @@
 
 The hot serving cost outside the CFM loop is the vision towers (CLIP
 ViT-bigG dominates); their matmuls can run int8 on the MXU (~2x the bf16
-rate on v5e) with dynamic-range quantization. This swaps every
+rate on v5e) with dynamic-range quantization (AQT AbsMax, per-channel /
+per-token scales shared over the contraction axes only). This swaps every
 ``nnx.Linear``'s ``dot_general`` for an AQT int8 one in place — weights stay
 stored in bf16/f32 and quantise inside the op, so checkpoints and the rest
-of the stack are untouched. Opt-in (``V2APipeline(..., quantize_towers=True)``
-or env ``V2AP_INT8_TOWERS=1``): conditioning features shift slightly
-(int8 DRQ), the CFM core itself is never quantised.
+of the stack are untouched.
+
+int8 towers are the SERVING DEFAULT (``V2AP_INT8_TOWERS=0`` or
+``V2APipeline(..., quantize_towers=False)`` restores bf16 reference-parity
+mode). Quality bound measured by ``scripts/probe_tower_drift.py`` on bigG:
+conditioning features drift 2.95% rel-rms vs the f32 tower — about 2x the
+1.39% drift the bf16 compute dtype (the previous, uncontested default)
+already incurs; mlp-only (2.15%) and skip-last-4-layers (2.84%) variants buy
+no qualitative improvement. Training, eval and parity tests never quantize.
+The CFM core itself stays bf16 unless ``V2AP_INT8_CFM=1`` (sampled latents
+shift ~1.6% rms, so that one remains opt-in).
 """
 
 from __future__ import annotations
