@@ -39,6 +39,8 @@ def main() -> int:
                     help="HF ConvNextModel snapshot dir (trunk only)")
     ap.add_argument("--pann", default=None,
                     help="Cnn14*.pth checkpoint (FAD embedder)")
+    ap.add_argument("--audioldm", default=None,
+                    help=".ckpt/.pt of audioldm-s-full (LDM UNet subtree)")
     ap.add_argument("--audit", action="store_true",
                     help="print a full consumed/unconsumed key report for "
                          "--cfm-ckpt and exit without writing")
@@ -132,6 +134,19 @@ def main() -> int:
         load_pann_from_state_dict(ckpt.get("model", ckpt), pann)
         save_model(os.path.join(args.out, "pann"), pann)
         print("converted pann cnn14")
+
+    if args.audioldm:
+        import torch
+        from v2ap_tpu.models.latent_diffusion import LatentDiffusion
+        from v2ap_tpu.utils.torch_convert import load_ldm_unet_from_state_dict
+        ldm = create_model(lambda: LatentDiffusion(rngs=nnx.Rngs(0)))
+        ckpt = torch.load(args.audioldm, map_location="cpu",
+                          weights_only=False)
+        sd = ckpt.get("state_dict", ckpt)
+        load_ldm_unet_from_state_dict(sd, ldm.unet,
+                                      prefix="model.diffusion_model.")
+        save_model(os.path.join(args.out, "audioldm_unet"), ldm)
+        print("converted audioldm ldm unet")
 
     if args.cfm_ckpt:
         from v2ap_tpu.models.cfm import CFM

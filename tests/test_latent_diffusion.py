@@ -255,3 +255,38 @@ def test_audioldm_backend_text_to_audio():
     )(backend, ids, mask, u_ids, u_mask)
     assert wav.shape == (1, 16 * 8)        # t/2 VAE upsample * hop 8
     assert np.all(np.isfinite(np.asarray(wav)))
+
+
+def test_state_dict_converter_matches_module_converter(ref_modules):
+    """load_ldm_unet_from_state_dict (for real audioldm checkpoints) must
+    agree with the module-walking converter."""
+    import jax.numpy as jnp
+    from flax import nnx
+    from v2ap_tpu.models.latent_diffusion import UNet2D
+    from v2ap_tpu.utils.torch_convert import (
+        load_ldm_unet_from_state_dict, load_ldm_unet_from_torch)
+
+    torch = ref_modules.torch
+    jcfg, tkw = _tiny_cfgs()
+    torch.manual_seed(1)
+    tnet = ref_modules.openaimodel.UNetModel(**tkw).eval()
+    with torch.no_grad():
+        for p in tnet.parameters():
+            if p.abs().sum() == 0:
+                p.copy_(torch.randn_like(p) * 0.02)
+
+    a = UNet2D(jcfg, rngs=nnx.Rngs(2))
+    b = UNet2D(jcfg, rngs=nnx.Rngs(3))
+    load_ldm_unet_from_torch(tnet, a)
+    load_ldm_unet_from_state_dict(
+        {f"model.diffusion_model.{k}": v for k, v in tnet.state_dict().items()},
+        b, prefix="model.diffusion_model.")
+    sa, sb = nnx.state(a), nnx.state(b)
+    flat_a = dict(nnx.to_flat_state(sa))
+    flat_b = dict(nnx.to_flat_state(sb))
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        va, vb = flat_a[k].value, flat_b[k].value
+        if hasattr(va, "shape"):
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                          err_msg=str(k))

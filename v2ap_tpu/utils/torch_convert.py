@@ -501,3 +501,85 @@ def load_ldm_unet_from_torch(torch_unet, jax_unet) -> None:
         block(jblk, tseq)
     norm(jax_unet.norm_out, torch_unet.out[0])
     conv(jax_unet.conv_out, torch_unet.out[2])
+
+
+def load_ldm_unet_from_state_dict(state_dict, jax_unet,
+                                  prefix: str = "") -> None:
+    """Copy an AudioLDM UNet state_dict (torch key layout, e.g. the
+    ``model.diffusion_model.*`` subtree of an audioldm-s-full checkpoint —
+    pass ``prefix="model.diffusion_model."``) into
+    ``v2ap_tpu.models.latent_diffusion.UNet2D`` without instantiating the
+    reference torch modules."""
+    from v2ap_tpu.models import latent_diffusion as ldm
+
+    sd = {}
+    for k, v in state_dict.items():
+        if not k.startswith(prefix):
+            continue
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        sd[k[len(prefix):]] = jnp.asarray(v)
+
+    def lin(jmod, key):
+        jmod.kernel[...] = sd[f"{key}.weight"].T
+        if f"{key}.bias" in sd and getattr(jmod, "bias", None) is not None:
+            jmod.bias[...] = sd[f"{key}.bias"]
+
+    def conv(jmod, key):
+        jmod.kernel[...] = jnp.transpose(sd[f"{key}.weight"], (2, 3, 1, 0))
+        jmod.bias[...] = sd[f"{key}.bias"]
+
+    def conv1x1(jmod, key):
+        jmod.kernel[...] = sd[f"{key}.weight"][:, :, 0, 0].T
+        jmod.bias[...] = sd[f"{key}.bias"]
+
+    def norm(jmod, key):
+        jmod.scale[...] = sd[f"{key}.weight"]
+        jmod.bias[...] = sd[f"{key}.bias"]
+
+    def layer_key(jl, p, j):
+        """Copy one layer of a TimestepEmbedSequential at torch index j."""
+        k = f"{p}.{j}"
+        if isinstance(jl, ldm.ResBlock):
+            norm(jl.norm1, f"{k}.in_layers.0")
+            conv(jl.conv1, f"{k}.in_layers.2")
+            lin(jl.emb, f"{k}.emb_layers.1")
+            norm(jl.norm2, f"{k}.out_layers.0")
+            conv(jl.conv2, f"{k}.out_layers.3")
+            if jl.skip is not None:
+                conv1x1(jl.skip, f"{k}.skip_connection")
+        elif isinstance(jl, ldm.SpatialTransformer):
+            norm(jl.norm, f"{k}.norm")
+            conv1x1(jl.proj_in, f"{k}.proj_in")
+            conv1x1(jl.proj_out, f"{k}.proj_out")
+            for t, jb in enumerate(jl.blocks):
+                bk = f"{k}.transformer_blocks.{t}"
+                for nm in ("norm1", "norm2", "norm3"):
+                    norm(getattr(jb, nm), f"{bk}.{nm}")
+                for at in ("attn1", "attn2"):
+                    ja = getattr(jb, at)
+                    lin(ja.to_q, f"{bk}.{at}.to_q")
+                    lin(ja.to_k, f"{bk}.{at}.to_k")
+                    lin(ja.to_v, f"{bk}.{at}.to_v")
+                    lin(ja.to_out, f"{bk}.{at}.to_out.0")
+                lin(jb.ff.proj, f"{bk}.ff.net.0.proj")
+                lin(jb.ff.out, f"{bk}.ff.net.2")
+        elif isinstance(jl, ldm.Downsample):
+            conv(jl.conv, f"{k}.op")
+        elif isinstance(jl, ldm.Upsample):
+            conv(jl.conv, f"{k}.conv")
+
+    lin(jax_unet.time_dense1, "time_embed.0")
+    lin(jax_unet.time_dense2, "time_embed.2")
+    if jax_unet.cfg.film_dim:
+        lin(jax_unet.film_emb, "film_emb")
+    conv(jax_unet.conv_in, "input_blocks.0.0")
+    for i, jblk in enumerate(jax_unet.input_blocks):
+        for j, jl in enumerate(jblk.layers):
+            layer_key(jl, f"input_blocks.{i + 1}", j)
+    for j, jl in enumerate(jax_unet.middle_block.layers):
+        layer_key(jl, "middle_block", j)
+    for i, jblk in enumerate(jax_unet.output_blocks):
+        for j, jl in enumerate(jblk.layers):
+            layer_key(jl, f"output_blocks.{i}", j)
+    norm(jax_unet.norm_out, "out.0")
+    conv(jax_unet.conv_out, "out.2")
