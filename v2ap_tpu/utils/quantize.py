@@ -15,8 +15,11 @@ conditioning features drift 2.95% rel-rms vs the f32 tower — about 2x the
 1.39% drift the bf16 compute dtype (the previous, uncontested default)
 already incurs; mlp-only (2.15%) and skip-last-4-layers (2.84%) variants buy
 no qualitative improvement. Training, eval and parity tests never quantize.
-The CFM core itself stays bf16 unless ``V2AP_INT8_CFM=1`` (sampled latents
-shift ~1.6% rms, so that one remains opt-in).
+The CFM core itself stays bf16 unless ``V2AP_INT8_CFM=1``: by the same probe
+methodology (``scripts/probe_cfm_drift.py``, 4-step full-size sampling),
+bf16 drifts sampled latents 1.28% rel-rms vs f32 while int8 drifts 3.52%
+(2.7x) — and unlike the frozen towers the CFM is the trained generative core
+whose output IS the audio, so the default stays conservative.
 """
 
 from __future__ import annotations
