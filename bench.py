@@ -337,7 +337,7 @@ def bench_training(result: dict) -> None:
                           "scripts", "bench_train.py")
     try:
         out = subprocess.run(
-            [sys.executable, script, "6", "4"], capture_output=True,
+            [sys.executable, script, "6", "8"], capture_output=True,
             text=True, timeout=int(os.environ.get("V2AP_BENCH_TRAIN_TIMEOUT",
                                                   "1500")))
         last = out.stdout.strip().splitlines()[-1]
