@@ -77,6 +77,27 @@ def test_ema_tracks_params():
     np.testing.assert_allclose(after, before + 0.5, atol=1e-5)
 
 
+def test_switch_ema_copies_shadow_into_model():
+    """"switch EMA" (the reference's dead use_switch_ema flag): after a few
+    updates the live params jump to the EMA shadow; optimizer state kept."""
+    import jax
+    cfg, model = build_model()
+    trainer = Trainer(model, TrainConfig(use_ema=True, ema_decay=0.9,
+                                         warmup_steps=2, decay_steps=100))
+    batch = make_batch(cfg)
+    for i in range(3):
+        trainer.train_step(jax.random.key(i), batch)
+    shadow = np.asarray(trainer.ema.shadow.proj_in.kernel[...])
+    live = np.asarray(trainer.model.proj_in.kernel[...])
+    assert not np.allclose(shadow, live)
+    trainer.switch_ema()
+    np.testing.assert_array_equal(
+        np.asarray(trainer.model.proj_in.kernel[...]), shadow)
+    # training continues from the switched params
+    loss, _ = trainer.train_step(jax.random.key(9), batch)
+    assert np.isfinite(float(loss))
+
+
 def test_per_sample_flow_loss_and_dpo_pair():
     pred = jnp.zeros((2, 4, 3))
     flow = jnp.ones((2, 4, 3))

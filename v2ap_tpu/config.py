@@ -162,6 +162,7 @@ class TrainConfig:
     mu_bf16: bool = False                      # bf16 AdamW first moment (saves ~1.5 GB at full size)
     ema_decay: float = 0.999
     use_ema: bool = False
+    switch_ema_every: int = 0                  # >0: copy EMA->model every N steps ("switch EMA"; the reference's dead use_switch_ema flag, trainer...3.py:449)
     # DPO preference optimization (reference: e2_tts_crossatt3.py:2504-2566)
     dpo: bool = False
     dpo_beta: float = 1.0

@@ -141,6 +141,9 @@ class TrainingPipeline:
                     scalars["contrastive"] = float(breakdown.contrastive)
                 self.metrics.log(step, **scalars)
                 self.watchdog.beat(step, loss=float(loss))
+            se = self.cfg.train.switch_ema_every
+            if se and step % se == 0 and self.trainer.ema is not None:
+                self.trainer.switch_ema()
             if self.resumer.maybe_save() and eval_it is not None:
                 # periodic val loss/F1 + latent-spectrogram figures, matching
                 # the reference's every-save_step evaluate() + TB mel dumps

@@ -299,6 +299,16 @@ class Trainer:
         return self._eval_step(self.model, rng, batch, has_frames=has_frames,
                                return_pred=return_pred)
 
+    def switch_ema(self) -> None:
+        """Copy the EMA shadow's params into the live model ("switch EMA",
+        arXiv 2402.09240 — the reference imports the flag but left it dead,
+        trainer_multigpus_alldatas3.py:449-450). Typical use: once per epoch;
+        the optimizer moments are kept so training continues smoothly."""
+        if self.ema is None:
+            raise ValueError("switch_ema requires use_ema=True")
+        nnx.update(self.model, jax.tree.map(
+            jnp.copy, nnx.state(self.ema.shadow, nnx.Param)))
+
     def run(self, batches: Iterator[dict], *, num_steps: int,
             rng: jax.Array, log_every: int = 50,
             callback=None) -> None:
