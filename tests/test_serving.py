@@ -62,6 +62,36 @@ def test_index_form(served_pipeline):
     assert "<form" in html and "video" in html
 
 
+def test_metrics_endpoint(served_pipeline, tmp_path):
+    """/metrics: counters + latency quantiles after a real request, JSON and
+    Prometheus text forms."""
+    _, server = served_pipeline
+    port = server.server_address[1]
+    video = str(tmp_path / "m.mp4")
+    if not write_synthetic_video(video, frames=6, fps=4):
+        pytest.skip("cv2 writer unavailable")
+    with open(video, "rb") as f:
+        payload = f.read()
+    body, ctype = _multipart({"prompt": "", "steps": "2"},
+                             {"video": ("m.mp4", payload)})
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v2a", data=body,
+        headers={"Content-Type": ctype}, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        r.read()
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+        m = json.loads(r.read())
+    assert m["v2a"]["requests"] >= 1
+    assert m["v2a"]["errors"] == 0
+    assert m["v2a"]["latency_p50_s"] > 0
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/metrics",
+                                 headers={"Accept": "text/plain"})
+    with urllib.request.urlopen(req) as r:
+        text = r.read().decode()
+    assert 'v2ap_requests_total{endpoint="v2a"}' in text
+    assert 'quantile="0.50"' in text
+
+
 def test_post_v2a_generates_wav(served_pipeline, tmp_path):
     _, server = served_pipeline
     port = server.server_address[1]

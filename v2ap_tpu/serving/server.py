@@ -6,6 +6,8 @@ a stdlib ThreadingHTTPServer with
 
   GET  /            — minimal HTML upload form (the UI surface)
   GET  /healthz     — liveness + model info
+  GET  /metrics     — request counters + latency quantiles (JSON; also
+                      Prometheus text with Accept: text/plain)
   POST /v2a, /v2p   — multipart video upload (+ optional ``prompt``,
                       ``steps`` fields) -> generated WAV (or muxed MP4 when
                       a muxer is available)
@@ -20,13 +22,67 @@ serialises through a lock instead.
 
 from __future__ import annotations
 
+import bisect
 import email
 import email.policy
 import json
 import os
 import tempfile
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class ServerMetrics:
+    """Thread-safe request counters + latency quantiles for /metrics.
+
+    The reference has no serving observability at all (SURVEY §5.1); this is
+    the production counterpart: per-endpoint counts, error counts, and
+    p50/p90/p99 wall latency over a bounded reservoir."""
+
+    def __init__(self, reservoir: int = 1024):
+        self._lock = threading.Lock()
+        self._reservoir = reservoir
+        self.counts: dict = {}
+        self.errors: dict = {}
+        self._lat: dict = {}
+
+    def observe(self, endpoint: str, seconds: float, ok: bool) -> None:
+        with self._lock:
+            self.counts[endpoint] = self.counts.get(endpoint, 0) + 1
+            if not ok:
+                self.errors[endpoint] = self.errors.get(endpoint, 0) + 1
+            lat = self._lat.setdefault(endpoint, [])
+            bisect.insort(lat, seconds)
+            if len(lat) > self._reservoir:
+                del lat[0:len(lat) - self._reservoir]
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {}
+            for ep, n in self.counts.items():
+                lat = self._lat.get(ep, [])
+                q = (lambda f: round(lat[min(len(lat) - 1,
+                                             int(f * len(lat)))], 4)
+                     ) if lat else (lambda f: None)
+                out[ep] = {"requests": n, "errors": self.errors.get(ep, 0),
+                           "latency_p50_s": q(0.50), "latency_p90_s": q(0.90),
+                           "latency_p99_s": q(0.99)}
+            return out
+
+    def prometheus(self) -> str:
+        lines = []
+        for ep, row in self.snapshot().items():
+            lbl = f'{{endpoint="{ep}"}}'
+            lines.append(f"v2ap_requests_total{lbl} {row['requests']}")
+            lines.append(f"v2ap_errors_total{lbl} {row['errors']}")
+            for k in ("latency_p50_s", "latency_p90_s", "latency_p99_s"):
+                if row[k] is not None:
+                    q = k.split("_")[1][1:]
+                    lines.append(
+                        f'v2ap_latency_seconds{{endpoint="{ep}",'
+                        f'quantile="0.{q}"}} {row[k]}')
+        return "\n".join(lines) + "\n"
 
 _FORM = """<!doctype html>
 <title>v2ap-tpu</title>
@@ -45,6 +101,7 @@ _FORM = """<!doctype html>
 class V2APHandler(BaseHTTPRequestHandler):
     pipeline = None
     batcher = None                    # RequestBatcher when batching is on
+    metrics = ServerMetrics()
     lock = threading.Lock()
 
     def _send(self, code: int, body: bytes, ctype: str = "text/html"):
@@ -55,7 +112,14 @@ class V2APHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        if self.path == "/healthz":
+        if self.path == "/metrics":
+            if "text/plain" in (self.headers.get("Accept") or ""):
+                self._send(200, self.metrics.prometheus().encode(),
+                           "text/plain; version=0.0.4")
+            else:
+                self._send(200, json.dumps(self.metrics.snapshot()).encode(),
+                           "application/json")
+        elif self.path == "/healthz":
             cfg = self.pipeline.cfg
             info = {"status": "ok", "model_dim": cfg.model.dim,
                     "depth": cfg.model.depth, "notes": cfg.model.notes}
@@ -82,6 +146,8 @@ class V2APHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         piano = self.path.rstrip("/").endswith("v2p")
+        t0 = time.perf_counter()
+        ok = False
         try:
             fields, files = self._parse_multipart()
             if "video" not in files:
@@ -111,9 +177,13 @@ class V2APHandler(BaseHTTPRequestHandler):
                 with open(out_wav, "rb") as f:
                     data = f.read()
             self._send(200, data, "audio/wav")
+            ok = True
         except Exception as exc:
             self._send(500, json.dumps({"error": str(exc)}).encode(),
                        "application/json")
+        finally:
+            self.metrics.observe("v2p" if piano else "v2a",
+                                 time.perf_counter() - t0, ok)
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -129,7 +199,8 @@ def serve(pipeline, host: str = "127.0.0.1", port: int = 7860,
         batcher = RequestBatcher(pipeline, max_batch=max_batch,
                                  window_ms=window_ms)
     handler = type("BoundHandler", (V2APHandler,),
-                   {"pipeline": pipeline, "batcher": batcher})
+                   {"pipeline": pipeline, "batcher": batcher,
+                    "metrics": ServerMetrics()})
     server = ThreadingHTTPServer((host, port), handler)
     server.batcher = batcher          # so shutdown paths can close it
     if block:
