@@ -157,6 +157,7 @@ class V2APipeline:
             quantize_linears_int8(self.cfm)
 
         self.tokenize = load_t5_tokenizer(tokenizer_path, self.t5_cfg.vocab_size)
+        self._stage_timings: dict = {}     # per-call host-stage breakdown
         self._mesh = None                  # set by shard_serving()
         self._frame_sharding = None
 
@@ -285,12 +286,21 @@ class V2APipeline:
             if not pending:
                 return None, None
         else:
+            import time as _time
             if not frames_cache:
+                _t = _time.perf_counter()
                 frames_cache.append(video_io.read_video_frames(video_path))
+                self._stage_timings["decode_s"] = (
+                    self._stage_timings.get("decode_s", 0.0)
+                    + _time.perf_counter() - _t)
             frames, duration = frames_cache[0]
             if frames is None:
                 return None, None
+            _t = _time.perf_counter()
             px = tower.preprocess(frames)             # uint8 geometry only
+            self._stage_timings["preprocess_s"] = (
+                self._stage_timings.get("preprocess_s", 0.0)
+                + _time.perf_counter() - _t)
             for i in range(0, len(px), chunk):
                 pending.append(dispatch(px[i: i + chunk]))
         last_pad = pending[-1][0]
@@ -402,6 +412,7 @@ class V2APipeline:
         cond = self.cfg.conditioning
         sr = cond.sampling_rate
         timings = {}
+        self._stage_timings = {}
         _t0 = _time.perf_counter()
 
         def plan_length(dur_s):
@@ -453,6 +464,7 @@ class V2APipeline:
             text_embed_np, video_duration = self.encode_video_frames_clip(
                 video_path, probe_len, frames_cache=decoded)
         timings["video_encode_s"] = _time.perf_counter() - _t0
+        timings.update(self._stage_timings)   # host decode/preprocess split
         _t0 = _time.perf_counter()
         if duration_s is None:
             duration_s, n_valid, n = plan_length(
