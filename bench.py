@@ -205,7 +205,8 @@ def bench_tower_mfu(pipe, video: str, result: dict, chunk: int = 64) -> None:
     result["tower_ms_per_frame"] = round(wall / chunk * 1e3, 2)
 
 
-def bench_end_to_end(cfg, result: dict) -> float | None:
+def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
+                     video: str | None = None) -> float | None:
     """BASELINE configs 1 (V2A) and 3 (V2P): the real serving pipeline with
     full-size frozen towers, encoders inside the timed region.
 
@@ -221,7 +222,8 @@ def bench_end_to_end(cfg, result: dict) -> float | None:
     from flax import nnx
     import jax.numpy as jnp
 
-    video = os.path.join(tempfile.gettempdir(), "v2ap_bench_clip.mp4")
+    if video is None:
+        video = os.path.join(tempfile.gettempdir(), "v2ap_bench_clip.mp4")
     if not os.path.exists(video) and not _write_video(video):
         return None
 
@@ -234,7 +236,8 @@ def bench_end_to_end(cfg, result: dict) -> float | None:
 
     cfg = cfg.replace(conditioning=dataclasses.replace(
         cfg.conditioning, feature_cache=False))   # every run pays CLIP
-    pipe = V2APipeline(cfg, seed=0)
+    pipe = (pipeline_factory(cfg) if pipeline_factory is not None
+            else V2APipeline(cfg, seed=0))
     bench_tower_mfu(pipe, video, result)
 
     # in-place int8 toggle for the frozen towers: one AQT dot_general shared
