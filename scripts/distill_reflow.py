@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Reflow-distill a trained CFM checkpoint into a few-step sampler.
+
+    python scripts/distill_reflow.py --ckpt ckpts/cfm --out ckpts/cfm_reflow \
+        --steps 2000 --teacher-steps 25 --scp train.scp
+
+Draws (noise, sample) pairs from the teacher's guided ODE on conditioning
+from the given manifest (or synthetic conditioning with --synthetic) and
+fine-tunes a clone on the coupled pairs (training/distill.py). The output
+checkpoint samples well at 2-4 Euler steps WITHOUT CFG — up to ~12x fewer
+transformer evaluations per clip than the reference's 25x2 serving loop.
+Validated end to end at tiny scale in tests/test_distill.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True, help="orbax CFM checkpoint dir")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=736)
+    ap.add_argument("--teacher-steps", type=int, default=25)
+    ap.add_argument("--cfg-strength", type=float, default=2.0)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--scp", default=None,
+                    help="video scp for real conditioning (else synthetic)")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if os.environ.get("V2AP_PROBE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    from flax import nnx
+    import jax.numpy as jnp
+    from v2ap_tpu import config as cfglib
+    from v2ap_tpu.models.cfm import CFM
+    from v2ap_tpu.training.distill import (ReflowConfig, ReflowDistiller,
+                                           make_pair_sampler)
+    from v2ap_tpu.utils.checkpoint import load_model, save_model
+    from v2ap_tpu.utils.jitting import create_model, enable_compile_cache
+
+    enable_compile_cache()
+    cfg = cfglib.tiny_test() if args.tiny else cfglib.V2APConfig()
+    teacher = create_model(lambda: CFM(cfg.model, cfg.conditioning,
+                                       rngs=nnx.Rngs(0)))
+    if os.path.isdir(args.ckpt):
+        load_model(args.ckpt, teacher)
+        print(f"loaded teacher from {args.ckpt}")
+
+    rcfg = ReflowConfig(learning_rate=args.lr, decay_steps=args.steps,
+                        teacher_steps=args.teacher_steps,
+                        cfg_strength=args.cfg_strength)
+    pair_fn = make_pair_sampler(teacher, rcfg)
+    student = nnx.clone(teacher)
+    distiller = ReflowDistiller(student, rcfg)
+
+    b, n = args.batch, args.frames
+    pipe = None
+    if args.scp:
+        from v2ap_tpu.pipelines.generate import V2APipeline
+        pipe = V2APipeline(cfg)
+        videos = [ln.split("\t")[0] for ln in open(args.scp)
+                  if ln.strip()]
+
+    rng = np.random.default_rng(0)
+    frames0 = jnp.zeros((b, n, cfg.model.notes), jnp.float32)
+    mask = jnp.ones((b, n), bool)
+    for step in range(args.steps):
+        if pipe is not None:
+            text = np.zeros((b, n, cfg.model.dim_text), np.float32)
+            for i in range(b):
+                v = videos[(step * b + i) % len(videos)]
+                feats, _ = pipe.encode_video_frames_clip(v, n)
+                if feats is not None:
+                    text[i, : len(feats)] = np.asarray(feats)[:n]
+            text = jnp.asarray(text)
+        else:
+            text = jnp.asarray(rng.normal(
+                size=(b, n, cfg.model.dim_text)).astype(np.float32))
+        ctx = jnp.zeros((b, 1, cfg.model.dim_context), jnp.float32)
+        ctx_mask = jnp.ones((b, 1), bool)
+        x0, x1 = pair_fn(jax.random.key(step), text, frames0, ctx, ctx_mask,
+                         mask)
+        loss = distiller.distill_step(
+            jax.random.key(10_000 + step), x0, x1,
+            lens=jnp.full((b,), n, jnp.int32), text_embed=text,
+            context=ctx, context_mask=ctx_mask)
+        if step % 50 == 0:
+            print(f"step {step}  reflow_loss {float(loss):.4f}", flush=True)
+
+    save_model(args.out, student)
+    print(f"saved reflow student -> {args.out} "
+          f"(sample with training.distill.fewstep_sampler(2))")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

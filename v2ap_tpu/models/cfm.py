@@ -339,6 +339,7 @@ class CFM(nnx.Module):
         frames: Optional[jnp.ndarray] = None,   # (b, t, H, W) keyboard frames
         midis: Optional[jnp.ndarray] = None,    # (b, n, notes) gt roll
         times: Optional[jnp.ndarray] = None,    # fixed times (val) or None
+        x0: Optional[jnp.ndarray] = None,    # coupled noise (reflow distillation)
         val: bool = False,
         midi_loss_weight: float = 10.0,
         train_video_encoder: bool = True,
@@ -368,7 +369,13 @@ class CFM(nnx.Module):
             start_rand = jnp.full((b,), 0.5, jnp.float32)
         rand_span_mask = mask_from_frac_lengths(lens, frac, n, start_rand) & mask
 
-        x0 = jax.random.normal(k_x0, x1.shape, jnp.float32)
+        if x0 is None:
+            x0 = jax.random.normal(k_x0, x1.shape, jnp.float32)
+        else:
+            # reflow: (x0, x1) arrive as a coupled pair from a teacher
+            # trajectory (training/distill.py) — straightens the flow so
+            # few-step Euler sampling matches many-step quality
+            x0 = x0.astype(jnp.float32)
         x1 = x1.astype(jnp.float32)
 
         if times is None:
