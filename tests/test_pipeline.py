@@ -286,3 +286,17 @@ def test_stream_decode_path_matches_default(pipeline, tmp_path, monkeypatch):
     finally:
         pipeline.cfg = old
     np.testing.assert_allclose(wav_default, wav_stream)
+
+
+def test_video_chunk_reader_chunk_larger_than_video(tmp_path):
+    from v2ap_tpu.data import video_io
+    video = str(tmp_path / "short.mp4")
+    if not write_synthetic_video(video, frames=3, fps=5):
+        pytest.skip("cv2 video writer unavailable")
+    full, _ = video_io.read_video_frames(video)
+    chunks = [c.copy() for c in video_io.VideoChunkReader(video, chunk=16)]
+    assert [len(c) for c in chunks] == [3]
+    np.testing.assert_array_equal(chunks[0], full)
+    missing = [c for c in video_io.VideoChunkReader(str(tmp_path / "no.mp4"),
+                                                    chunk=4)]
+    assert missing == []
