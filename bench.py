@@ -238,10 +238,11 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
         cfg.conditioning, feature_cache=False))   # every run pays CLIP
     pipe = (pipeline_factory(cfg) if pipeline_factory is not None
             else V2APipeline(cfg, seed=0))
-    bench_tower_mfu(pipe, video, result)
 
     # in-place int8 toggle for the frozen towers: one AQT dot_general shared
-    # across calls so the two graphdefs stay jit-cache-stable
+    # across calls so the two graphdefs stay jit-cache-stable (the instance
+    # the constructor installed is a different closure — replace it BEFORE
+    # anything compiles, or the same int8 program traces twice)
     int8_dg = make_int8_dot_general()
     import jax.lax as lax
 
@@ -250,6 +251,9 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
             for _, node in nnx.iter_graph(tower.model):
                 if isinstance(node, nnx.Linear):
                     node.dot_general = int8_dg if on else lax.dot_general
+
+    set_int8(True)
+    bench_tower_mfu(pipe, video, result)
 
     def set_cache(on: bool) -> None:
         pipe.cfg = pipe.cfg.replace(conditioning=dataclasses.replace(
@@ -269,7 +273,6 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
     # 1.39%, scripts/probe_tower_drift.py); bf16 towers ride as the
     # reference-parity variant key.
     clear_cache()
-    set_int8(True)
     _, audio_s, _ = run(False, 0)
     result["e2e_audio_seconds"] = round(audio_s, 2)
     run(True, 0)
@@ -278,8 +281,8 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
     # cross-condition fusions are zero-initialised and no trained checkpoint
     # exists offline, so the sampler output is conditioning-independent by
     # construction — see PARITY.md.)
-    feats_int8, _ = pipe.encode_video_frames_clip(video, 256)
     if bench_bf16:
+        feats_int8, _ = pipe.encode_video_frames_clip(video, 256)
         set_int8(False)
         run(False, 0)                           # compile bf16 tower variant
         feats_bf16, _ = pipe.encode_video_frames_clip(video, 256)

@@ -25,7 +25,8 @@ def main(argv=None) -> int:
         from v2ap_tpu.config import V2APConfig
         from v2ap_tpu.pipelines.generate import V2APipeline
         from v2ap_tpu.pipelines.batch_eval import run_batch_eval
-        pipeline = V2APipeline(V2APConfig())
+        # batch-eval CLI: reference-parity numerics (int8 is serving-only)
+        pipeline = V2APipeline(V2APConfig(), quantize_towers=False)
         if args.ckpt:
             pipeline.load_weights(args.ckpt)
         summary = run_batch_eval(

@@ -69,7 +69,7 @@ def main() -> int:
     pipe = None
     if args.scp:
         from v2ap_tpu.pipelines.generate import V2APipeline
-        pipe = V2APipeline(cfg)
+        pipe = V2APipeline(cfg, quantize_towers=False)  # parity conditioning
         videos = [ln.split("\t")[0] for ln in open(args.scp)
                   if ln.strip()]
 

@@ -57,10 +57,13 @@ def main() -> int:
         cfg = cfglib.tiny_test()
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, dim_text=16, dim_context=32, num_channels=8))
-        pipeline = V2APipeline(cfg, t5_config=t5_tiny_test(),
+        pipeline = V2APipeline(cfg, quantize_towers=False,
+                               t5_config=t5_tiny_test(),
                                clip_config=clip_tiny_test())
     else:
-        pipeline = V2APipeline(V2APConfig())
+        # quality evaluation runs reference-parity numerics, not the int8
+        # serving default
+        pipeline = V2APipeline(V2APConfig(), quantize_towers=False)
     if args.ckpt:
         pipeline.load_weights(args.ckpt)
 

@@ -300,3 +300,20 @@ def test_video_chunk_reader_chunk_larger_than_video(tmp_path):
     missing = [c for c in video_io.VideoChunkReader(str(tmp_path / "no.mp4"),
                                                     chunk=4)]
     assert missing == []
+
+
+def test_feature_cache_precision_tags(tmp_path):
+    """int8-written caches must not serve bf16 parity mode (and vice versa);
+    untagged (legacy/strip) caches still load when no tag is requested."""
+    from v2ap_tpu.data import video_io
+    path = str(tmp_path / "feat.npz")
+    feats = np.arange(6, dtype=np.float32).reshape(2, 3)
+    video_io.save_feature_cache(path, feats, 1.5, tag="int8")
+    got, dur = video_io.load_feature_cache(path, tag="int8")
+    np.testing.assert_array_equal(got, feats)
+    assert dur == 1.5
+    miss, _ = video_io.load_feature_cache(path, tag="bf16")
+    assert miss is None
+    video_io.save_feature_cache(path, feats, 1.5)      # untagged
+    assert video_io.load_feature_cache(path)[0] is not None
+    assert video_io.load_feature_cache(path, tag="int8")[0] is None

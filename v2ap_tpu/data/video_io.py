@@ -39,6 +39,7 @@ class VideoChunkReader:
         self.ok = self.cap.isOpened()
         self.fps = self.cap.get(cv2.CAP_PROP_FPS) if self.ok else 0.0
         self.frames_read = 0
+        self.failed = False            # mid-stream frame-shape change
         self.duration: Optional[float] = None
 
     def __iter__(self):
@@ -58,11 +59,18 @@ class VideoChunkReader:
                 n = 0
             while n < self.chunk:
                 ok, frame = self.cap.read()
-                if not ok or frame.shape != buf.shape[1:]:
+                if not ok:
+                    break
+                if frame.shape != buf.shape[1:]:
+                    # match read_video_frames' loud failure (its np.stack
+                    # raises): callers must not see a silently truncated clip
+                    self.failed = True
                     break
                 cv2.cvtColor(frame, cv2.COLOR_BGR2RGB, dst=buf[n])
                 n += 1
             if n == 0:
+                break
+            if self.failed:
                 break
             self.frames_read += n
             yield buf[:n]
@@ -189,17 +197,32 @@ def piano_roll_cache_path(video_path: str) -> str:
     return video_path.replace(".mp4", ".generated_roll.npz")
 
 
-def save_feature_cache(path: str, features: np.ndarray, duration: float) -> None:
+def save_feature_cache(path: str, features: np.ndarray, duration: float,
+                       tag: Optional[str] = None) -> None:
+    """``tag`` records the numerics that produced the features (e.g. the
+    tower precision) so a mode switch can't silently serve stale entries."""
     try:
-        np.savez(path, features, duration)
+        if tag is None:
+            np.savez(path, features, duration)
+        else:
+            np.savez(path, features, duration, tag=np.asarray(tag))
     except OSError:
         pass                       # read-only source dirs: skip caching
 
 
-def load_feature_cache(path: str) -> Tuple[Optional[np.ndarray], Optional[float]]:
+def load_feature_cache(path: str, tag: Optional[str] = None
+                       ) -> Tuple[Optional[np.ndarray], Optional[float]]:
+    """When ``tag`` is given, entries written under a different (or no) tag
+    are treated as misses — int8-tower caches must not serve bf16 parity
+    mode or vice versa. ``tag=None`` accepts anything (precision-independent
+    caches like raw keyboard strips)."""
     if not os.path.exists(path):
         return None, None
     data = np.load(path)
+    if tag is not None:
+        stored = str(data["tag"]) if "tag" in data.files else None
+        if stored != tag:
+            return None, None
     return data["arr_0"], float(data["arr_1"])
 
 

@@ -324,9 +324,13 @@ def make_betas(cfg: LDMConfig) -> np.ndarray:
 
 def make_ddim_schedule(cfg: LDMConfig, steps: int, eta: float = 0.0):
     """Per-step tables (t, a_t, a_prev, sigma, sqrt(1-a_t)) in SAMPLING order
-    (reference util.py:56-96: uniform subset + 1, sigmas per DDIM paper)."""
+    (reference util.py:56-96: uniform subset + 1, sigmas per DDIM paper).
+
+    Follows the reference's uniform-stride quirk: the actual step count is
+    ceil(timesteps / (timesteps // steps)), which equals ``steps`` only when
+    it divides ``timesteps``; steps > timesteps clamps to every-timestep."""
     alphas_cum = np.cumprod(1.0 - make_betas(cfg))
-    c = cfg.timesteps // steps
+    c = max(1, cfg.timesteps // steps)
     ts = np.arange(0, cfg.timesteps, c) + 1            # ascending
     a = alphas_cum[ts]
     a_prev = np.concatenate([[alphas_cum[0]], alphas_cum[ts[:-1]]])

@@ -149,6 +149,10 @@ class V2APipeline:
                 import warnings
                 warnings.warn("aqt not installed — towers stay bf16 "
                               "(reference-parity mode)")
+                quantize_towers = False
+        # cache tags: a mode switch (int8 <-> bf16) must not serve feature
+        # caches written under the other numerics
+        self._tower_tag = "int8" if quantize_towers else "bf16"
         # opt-in int8 matmuls for the CFM core itself (env V2AP_INT8_CFM=1):
         # measured ~13% faster 25-step sampling on v5e (17.7x -> 20.0x sans
         # decode) but sampled latents shift ~1.6% rms relative vs bf16, so
@@ -160,6 +164,7 @@ class V2APipeline:
         if quantize_cfm:
             from v2ap_tpu.utils.quantize import quantize_linears_int8
             quantize_linears_int8(self.cfm)
+        self._roll_tag = "int8" if quantize_cfm else "bf16"
 
         self.tokenize = load_t5_tokenizer(tokenizer_path, self.t5_cfg.vocab_size)
         self._stage_timings: dict = {}     # per-call host-stage breakdown
@@ -255,7 +260,8 @@ class V2APipeline:
 
         cache = video_io.clip_feature_cache_path(video_path, tower.name)
         if self.cfg.conditioning.feature_cache:
-            feats, duration = video_io.load_feature_cache(cache)
+            feats, duration = video_io.load_feature_cache(
+                cache, tag=self._tower_tag)
             if feats is not None:
                 return feats, duration
         mean = self._jnp.asarray(tower.mean, self._jnp.float32)
@@ -288,8 +294,8 @@ class V2APipeline:
             for frames_chunk in reader:
                 pending.append(dispatch(tower.preprocess(frames_chunk)))
             duration = reader.duration
-            if not pending:
-                return None, None
+            if reader.failed or not pending:   # same outcome as the default
+                return None, None              # path's decode failure
         else:
             import time as _time
             if not frames_cache:
@@ -314,7 +320,8 @@ class V2APipeline:
         feats = self._jnp.concatenate([out for _, out in pending])[:n_frames]
         if self.cfg.conditioning.feature_cache:
             feats = np.asarray(feats)       # cache format unchanged (npz)
-            video_io.save_feature_cache(cache, feats, duration)
+            video_io.save_feature_cache(cache, feats, duration,
+                                        tag=self._tower_tag)
         return feats, duration
 
     def encode_video_frames_clip(self, video_path: str, length: int,
@@ -443,7 +450,8 @@ class V2APipeline:
             if self.cfg.conditioning.feature_cache:
                 # roll-level cache: skips strip load/upload AND Video2Roll
                 roll_np, roll_dur = video_io.load_feature_cache(
-                    video_io.piano_roll_cache_path(video_path))
+                    video_io.piano_roll_cache_path(video_path),
+                    tag=self._roll_tag)
                 if roll_np is not None:
                     duration_s, n_valid, n = plan_length(
                         min(roll_dur, max_duration_s))
@@ -518,7 +526,8 @@ class V2APipeline:
                         from v2ap_tpu.data import video_io
                         video_io.save_feature_cache(
                             video_io.piano_roll_cache_path(video_path),
-                            np.asarray(frames_roll[0]), duration_s)
+                            np.asarray(frames_roll[0]), duration_s,
+                            tag=self._roll_tag)
                 else:
                     frames_roll = jnp.zeros((b, n, self.cfg.model.notes))
         else:

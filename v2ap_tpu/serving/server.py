@@ -22,7 +22,7 @@ serialises through a lock instead.
 
 from __future__ import annotations
 
-import bisect
+import collections
 import email
 import email.policy
 import json
@@ -45,23 +45,24 @@ class ServerMetrics:
         self._reservoir = reservoir
         self.counts: dict = {}
         self.errors: dict = {}
-        self._lat: dict = {}
+        self._lat: dict = {}              # endpoint -> deque of RECENT samples
 
     def observe(self, endpoint: str, seconds: float, ok: bool) -> None:
         with self._lock:
             self.counts[endpoint] = self.counts.get(endpoint, 0) + 1
             if not ok:
                 self.errors[endpoint] = self.errors.get(endpoint, 0) + 1
-            lat = self._lat.setdefault(endpoint, [])
-            bisect.insort(lat, seconds)
-            if len(lat) > self._reservoir:
-                del lat[0:len(lat) - self._reservoir]
+            self._lat.setdefault(
+                endpoint,
+                collections.deque(maxlen=self._reservoir)).append(seconds)
 
     def snapshot(self) -> dict:
         with self._lock:
             out = {}
             for ep, n in self.counts.items():
-                lat = self._lat.get(ep, [])
+                # quantiles over the most-recent window (a sorted reservoir
+                # that evicts by VALUE would converge to all-time-worst)
+                lat = sorted(self._lat.get(ep, ()))
                 q = (lambda f: round(lat[min(len(lat) - 1,
                                              int(f * len(lat)))], 4)
                      ) if lat else (lambda f: None)

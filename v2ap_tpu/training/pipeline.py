@@ -38,7 +38,10 @@ class TrainingPipeline:
         os.makedirs(work_dir, exist_ok=True)
 
         # the serving pipeline owns CFM + frozen encoders + jitted closures
+        # training conditioning must stay in reference-parity numerics — the
+        # int8-tower SERVING default never applies here (quantize.py)
         self.pipe = V2APipeline(self.cfg, seed=seed, t5_config=t5_config,
+                                quantize_towers=False,
                                 clip_config=clip_config,
                                 encodec_config=encodec_config)
         # optional device mesh: shard the trained core with the DP(xTP)
