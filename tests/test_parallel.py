@@ -53,3 +53,44 @@ def test_distributed_helpers_single_process():
     host, hosts = host_shard_info()
     assert host == 0 and hosts == 1
     assert all_hosts_mean(3.5) == 3.5
+
+
+def test_multichip_dpo_contrastive_train_step():
+    """DPO + FactorCL on a DPxTP mesh: the preference pair rides the data
+    axis (winner/loser in the last two rows) while the EMA reference and the
+    FactorCL critic shard with the model — one step, finite losses."""
+    from v2ap_tpu import config as cfglib
+    from v2ap_tpu.config import TrainConfig
+    from v2ap_tpu.models.cfm import CFM
+    from v2ap_tpu.training import Trainer
+    from v2ap_tpu.utils.jitting import create_model
+
+    mesh = make_mesh(MeshConfig(model_parallel=2), jax.devices())
+    cfg = cfglib.tiny_test()
+    model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
+                                     with_video2roll=False,
+                                     rngs=nnx.Rngs(0)))
+    shard_model(model, mesh)
+    trainer = Trainer(model, TrainConfig(
+        dpo=True, contrastive=True, warmup_steps=2, decay_steps=100))
+    bs = batch_sharding(mesh)
+
+    b, n = 4, 32
+    rng = np.random.default_rng(0)
+    r = lambda *s: rng.normal(size=s).astype(np.float32)
+    text = r(b, n, cfg.model.dim_text)
+    text[-1] = text[-2]                # loser row shares the winner's cond
+    batch = {
+        "latents": jax.device_put(r(b, n, cfg.model.num_channels), bs),
+        "lens": jax.device_put(np.full((b,), n, np.int32), bs),
+        "text_embed": jax.device_put(text, bs),
+        "context": jax.device_put(
+            np.zeros((b, 1, cfg.model.dim_context), np.float32), bs),
+        "context_mask": jax.device_put(np.ones((b, 1), bool), bs),
+    }
+    loss, breakdown = trainer.train_step(jax.random.key(0), batch)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(breakdown.dpo))
+    assert np.isfinite(float(breakdown.contrastive))
+    loss2, _ = trainer.train_step(jax.random.key(1), batch)
+    assert np.isfinite(float(loss2))
