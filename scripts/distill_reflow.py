@@ -38,9 +38,9 @@ def main() -> int:
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
+    from v2ap_tpu.utils.jitting import force_cpu_if_requested
+    force_cpu_if_requested()
     import jax
-    if os.environ.get("V2AP_PROBE_CPU") == "1":
-        jax.config.update("jax_platforms", "cpu")
     from flax import nnx
     import jax.numpy as jnp
     from v2ap_tpu import config as cfglib

@@ -41,7 +41,9 @@ def main() -> int:
                          "numbers)")
     args = ap.parse_args()
 
-    from v2ap_tpu.utils.jitting import enable_compile_cache
+    from v2ap_tpu.utils.jitting import enable_compile_cache, \
+        force_cpu_if_requested
+    force_cpu_if_requested()
     enable_compile_cache()
 
     from inference_v2a import parse_args as _  # noqa: F401 (shared config path)

@@ -47,6 +47,20 @@ def machine_fingerprint() -> str:
     return h
 
 
+def force_cpu_if_requested() -> bool:
+    """V2AP_PROBE_CPU=1 pins jax to the CPU backend. Needed because the
+    axon sitecustomize force-selects the tunneled TPU platform and IGNORES
+    the JAX_PLATFORMS env var — only a post-import config.update sticks.
+    Call first thing in script entry points so probes/CI can run them
+    off-TPU. Returns True when CPU was forced."""
+    import os
+    if os.environ.get("V2AP_PROBE_CPU") == "1":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        return True
+    return False
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     """Persistent on-disk compile cache, keyed per machine (see
     ``machine_fingerprint``). Only worthwhile entries are cached (tiny
