@@ -51,7 +51,9 @@ def parse_args(argv):
 def main(argv=None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
-    from v2ap_tpu.utils.jitting import enable_compile_cache
+    from v2ap_tpu.utils.jitting import enable_compile_cache, \
+        force_cpu_if_requested
+    force_cpu_if_requested()
     enable_compile_cache()
     from v2ap_tpu.config import V2APConfig
     from v2ap_tpu.pipelines.generate import V2APipeline

@@ -20,7 +20,9 @@ def main(argv=None) -> int:
         # positional form: route through the flag-less parser then force piano
         args = parse_args(argv[:6])
         args.piano = True
-        from v2ap_tpu.utils.jitting import enable_compile_cache
+        from v2ap_tpu.utils.jitting import enable_compile_cache, \
+            force_cpu_if_requested
+        force_cpu_if_requested()
         enable_compile_cache()
         from v2ap_tpu.config import V2APConfig
         from v2ap_tpu.pipelines.generate import V2APipeline

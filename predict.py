@@ -22,7 +22,9 @@ class Predictor:
         self.pipeline = None
 
     def setup(self, ckpt: Optional[str] = None) -> None:
-        from v2ap_tpu.utils.jitting import enable_compile_cache
+        from v2ap_tpu.utils.jitting import enable_compile_cache, \
+            force_cpu_if_requested
+        force_cpu_if_requested()
         enable_compile_cache()
         from v2ap_tpu.config import V2APConfig
         from v2ap_tpu.pipelines.generate import V2APipeline

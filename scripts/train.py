@@ -123,7 +123,9 @@ def main() -> int:
                          "towers) for smoke-driving the full CLI path")
     args = ap.parse_args()
 
-    from v2ap_tpu.utils.jitting import enable_compile_cache
+    from v2ap_tpu.utils.jitting import enable_compile_cache, \
+        force_cpu_if_requested
+    force_cpu_if_requested()
     enable_compile_cache()
     # multi-host: no-op single process; on pod slices jax.devices() then
     # spans all hosts and the mesh below is global
