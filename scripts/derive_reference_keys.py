@@ -59,154 +59,20 @@ VARIANT_FILES = {
 }
 
 
-def install_stubs(torch, nn, F):
-    """Import-time stubs for packages absent in this image. Only
-    x_transformers carries state-dict structure (documented in PARITY.md);
-    the rest are inert import shims (`from __future__ import annotations`
-    keeps the jaxtyping signatures unevaluated)."""
-
-    import importlib.machinery
-
-    def mod(name, **attrs):
-        m = types.ModuleType(name)
-        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        sys.modules[name] = m
-        return m
-
-    mod("beartype", beartype=lambda f: f)
-    mod("jaxtyping", Float=object(), Int=object(), Bool=object())
-    mp = mod("moviepy")
-    mp.editor = mod("moviepy.editor", AudioFileClip=object,
-                    VideoFileClip=object)
-    mod("g2p_en", G2p=object)
-    mod("jieba", cut=lambda *a, **k: [])
-    mod("pypinyin", lazy_pinyin=lambda *a, **k: [], Style=object)
-    al = mod("audioldm")
-    al.audio = mod("audioldm.audio")
-    al.audio.stft = mod("audioldm.audio.stft", TacotronSTFT=object)
-    al.variational_autoencoder = mod("audioldm.variational_autoencoder",
-                                     AutoencoderKL=object)
-    al.utils = mod("audioldm.utils",
-                   default_audioldm_config=lambda *a, **k: {},
-                   get_metadata=lambda *a, **k: {})
-    ta = mod("torchaudio")
-    ta.functional = mod("torchaudio.functional", DB_to_amplitude=lambda *a: None)
-    ta.transforms = mod("torchaudio.transforms", MelSpectrogram=object)
-    mod("torchdiffeq", odeint=lambda *a, **k: None)
-    mod("einx")
-    mod("vocos", Vocos=object)
-    tv = mod("torchvision")
-    tv.transforms = mod(
-        "torchvision.transforms",
-        Compose=lambda fns: fns, ToTensor=object, Normalize=object,
-        transforms=None)
-
-    # ---- x_transformers stubs (state-dict-faithful; the residual unknown) --
-    class RMSNorm(nn.Module):
-        """x_transformers.x_transformers.RMSNorm: unit gain param ``g``."""
-
-        def __init__(self, dim):
-            super().__init__()
-            self.scale = dim ** 0.5
-            self.g = nn.Parameter(torch.ones(dim))
-
-        def forward(self, x):
-            return F.normalize(x, dim=-1) * self.scale * self.g
-
-    class AdaptiveRMSNorm(nn.Module):
-        """Condition-projected gamma, zero-init, no bias (x_transformers)."""
-
-        def __init__(self, dim, dim_condition=None):
-            super().__init__()
-            self.scale = dim ** 0.5
-            dim_condition = dim_condition or dim
-            self.to_gamma = nn.Linear(dim_condition, dim, bias=False)
-            nn.init.zeros_(self.to_gamma.weight)
-
-        def forward(self, x, *, condition):
-            normed = F.normalize(x, dim=-1) * self.scale
-            gamma = self.to_gamma(condition)
-            return normed * (gamma + 1.0)
-
-    class GLU(nn.Module):
-        def __init__(self, dim_in, dim_out, activation):
-            super().__init__()
-            self.act = activation
-            self.proj = nn.Linear(dim_in, dim_out * 2)
-
-        def forward(self, x):
-            x, gate = self.proj(x).chunk(2, dim=-1)
-            return x * self.act(gate)
-
-    class FeedForward(nn.Module):
-        """glu=True path: ff = Sequential(GLU, Dropout, Linear) — leaf keys
-        ff.0.proj.{weight,bias}, ff.2.{weight,bias}."""
-
-        def __init__(self, dim, dim_out=None, mult=4, glu=False,
-                     dropout=0.0, **kw):
-            super().__init__()
-            inner = int(dim * mult)
-            dim_out = dim_out or dim
-            if glu:
-                project_in = GLU(dim, inner, nn.GELU())
-            else:
-                project_in = nn.Sequential(nn.Linear(dim, inner), nn.GELU())
-            self.ff = nn.Sequential(project_in, nn.Dropout(dropout),
-                                    nn.Linear(inner, dim_out))
-
-        def forward(self, x):
-            return self.ff(x)
-
-    class Attention(nn.Module):
-        """q/k/v/out projections bias-free; gate_value_heads adds a
-        per-head sigmoid gate Linear(dim, heads) named ``to_v_head_gate``
-        (modern x_transformers; historical ``to_v_gates`` also accepted by
-        the converter). softclamp_logits carries no params."""
-
-        def __init__(self, dim, heads=8, dim_head=64, dropout=0.0,
-                     gate_value_heads=False, softclamp_logits=False, **kw):
-            super().__init__()
-            inner = heads * dim_head
-            self.to_q = nn.Linear(dim, inner, bias=False)
-            self.to_k = nn.Linear(dim, inner, bias=False)
-            self.to_v = nn.Linear(dim, inner, bias=False)
-            if gate_value_heads:
-                self.to_v_head_gate = nn.Linear(dim, heads)
-            self.to_out = nn.Linear(inner, dim, bias=False)
-
-        def forward(self, *a, **k):
-            raise NotImplementedError("key-inventory stub")
-
-    class RotaryEmbedding(nn.Module):
-        def __init__(self, dim, **kw):
-            super().__init__()
-            inv = 1.0 / (10000 ** (torch.arange(0, dim, 2).float() / dim))
-            self.register_buffer("inv_freq", inv, persistent=False)
-
-    xt = mod("x_transformers", Attention=Attention, FeedForward=FeedForward,
-             RMSNorm=RMSNorm, AdaptiveRMSNorm=AdaptiveRMSNorm)
-    mod("x_transformers.x_transformers", RotaryEmbedding=RotaryEmbedding,
-        Attention=Attention, FeedForward=FeedForward, RMSNorm=RMSNorm,
-        AdaptiveRMSNorm=AdaptiveRMSNorm)
-    xt.x_transformers = sys.modules["x_transformers.x_transformers"]
-
-
-def import_reference_module(variant: str):
-    path = os.path.join(REF_SRC, VARIANT_FILES[variant])
-    name = f"ref_{variant}"
-    # crossatt6 pulls its FactorCL tower via package-relative imports
-    pkg = types.ModuleType("e2_tts_pytorch")
-    pkg.__path__ = [REF_SRC]
-    sys.modules.setdefault("e2_tts_pytorch", pkg)
-    sys.path.insert(0, os.path.join(REF_ROOT, "src", "audeo"))
-    spec = importlib.util.spec_from_file_location(
-        f"e2_tts_pytorch.{name}", path)
-    m = importlib.util.module_from_spec(spec)
-    sys.modules[f"e2_tts_pytorch.{name}"] = m
-    spec.loader.exec_module(m)
-    return m
+# The import stand-ins (x_transformers leaves with 1.37.4-faithful structure
+# AND forward math, einx, moviepy, ...) and the reference-module loader live
+# in v2ap_tpu/utils/reference_torch.py so the forward-parity test
+# (tests/test_reference_forward_parity.py) shares one transcription. Loaded
+# by file path — importing the v2ap_tpu package would pull in jax, and this
+# script must run torch-only (no TPU tunnel dependency).
+_rt_spec = importlib.util.spec_from_file_location(
+    "_reference_torch",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 "v2ap_tpu", "utils", "reference_torch.py"))
+_rt = importlib.util.module_from_spec(_rt_spec)
+_rt_spec.loader.exec_module(_rt)
+install_reference_stubs = _rt.install_reference_stubs
+import_reference_module = _rt.import_reference_module
 
 
 def derive(variant: str) -> dict:
@@ -256,7 +122,7 @@ def main() -> int:
     import torch
     from torch import nn
     import torch.nn.functional as F
-    install_stubs(torch, nn, F)
+    install_reference_stubs()
 
     os.makedirs(args.out, exist_ok=True)
     for variant in VARIANT_FILES:

@@ -35,13 +35,18 @@ def test_converter_maps_all_core_keys():
 
     np.testing.assert_allclose(np.asarray(model.transformer.registers[...]),
                                sd["transformer.registers"])
-    # fused qkv = concat of q/k/v transposed
+    # fused qkv = concat of q/k/v transposed, with the q/k rows re-ordered
+    # from the reference's interleaved rotary layout to the half-split one
+    # (see utils/reference_ckpt._rope_permute)
+    from v2ap_tpu.utils.reference_ckpt import _rope_permute
+    rp = lambda w: _rope_permute(w, mc.heads, mc.dim_head, mc.dim_head)
     qkv = np.asarray(model.transformer.audio_blocks[0].attn.to_qkv.kernel[...])
     np.testing.assert_allclose(
-        qkv, np.concatenate([sd["transformer.layers.0.0.3.to_q.weight"].T,
-                             sd["transformer.layers.0.0.3.to_k.weight"].T,
-                             sd["transformer.layers.0.0.3.to_v.weight"].T],
-                            axis=1))
+        qkv, np.concatenate(
+            [rp(sd["transformer.layers.0.0.3.to_q.weight"]).T,
+             rp(sd["transformer.layers.0.0.3.to_k.weight"]).T,
+             sd["transformer.layers.0.0.3.to_v.weight"].T],
+            axis=1))
     # dwconv transpose (dim,1,k) -> (k,1,dim)
     dw = np.asarray(model.transformer.audio_blocks[0].conv.kernel[...])
     np.testing.assert_allclose(

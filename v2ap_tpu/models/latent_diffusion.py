@@ -161,7 +161,8 @@ class GEGLUFeedForward(nnx.Module):
 
     def __call__(self, x):
         a, gate = jnp.split(self.proj(x), 2, axis=-1)
-        return self.out(a * nnx.gelu(gate))
+        # exact gelu: the reference GEGLU uses F.gelu's erf default
+        return self.out(a * nnx.gelu(gate, approximate=False))
 
 
 class TransformerBlock(nnx.Module):

@@ -122,8 +122,16 @@ class AudioBlock(nnx.Module):
                                         dim_context=cfg.dim_context,
                                         cross_attention=True, **attn_kw)
             self.cross_gate = AdaLNZero(dim, rngs=rngs)
+            # with context=None x_transformers' attn2 degrades to rotary
+            # self-attention over x — only expressible when the context
+            # projections accept dim-wide input. Reference configs always
+            # have dim_context == dim (T5-large hidden 1024 == dim 1024);
+            # dim_context != dim is a framework generalization where the
+            # degenerate path cannot arise, so it is skipped instead.
+            self.cross_self_ok = cfg.dim_context == dim
         else:
             self.cross_attn = None
+            self.cross_self_ok = False
         self.ff_norm = AdaptiveRMSNorm(dim, rngs=rngs)
         self.ff = GLUFeedForward(dim, cfg.ff_mult, cfg.dropout, dtype=dtype, rngs=rngs)
         self.ff_gate = AdaLNZero(dim, rngs=rngs)
@@ -137,7 +145,15 @@ class AudioBlock(nnx.Module):
         attn_out = self.attn(self.attn_norm(x, condition=cond), rotary=rotary,
                              mask=mask, deterministic=deterministic)
         x = x + self.attn_gate(attn_out, condition=cond)
-        if self.cross_attn is not None and context is not None:
+        if self.cross_attn is not None and (context is not None
+                                            or self.cross_self_ok):
+            # context=None is NOT a skip: the reference always runs attn2
+            # (e2_tts_crossatt3.py:1131), and x_transformers' Attention with
+            # no context degrades to rotary SELF-attention over x — the
+            # prompt=None sample() path. The checkpoint converter permutes
+            # these q/k rows for the rope convention; a shared permutation
+            # cancels in the with-context (no-rope) case. Dropped/empty
+            # prompts are a ZEROED context (reference :2058-2062), not None.
             cross_out = self.cross_attn(
                 self.cross_norm(x, condition=cond), rotary=rotary, mask=mask,
                 context=context, context_mask=context_mask,
@@ -265,9 +281,18 @@ class TriStreamTransformer(nnx.Module):
                 [jnp.ones((b, r), bool), mask.astype(bool)], axis=1)
 
         total = n + r
+        # the reference builds all three per-stream RotaryEmbedding(dim_head)
+        # from the AUDIO head width (e2_tts_crossatt3.py:777-781), so a
+        # stream with wider heads (frames: 8x64) gets PARTIAL rotary when
+        # dim_head < frames_dim_head. (A stream with NARROWER heads would
+        # crash the reference's apply_rotary_pos_emb on a shape mismatch, so
+        # clamp to the stream width — only unrealizable tiny test configs hit
+        # this.) Identical tables are shared.
         rot_audio = rope_table(total, cfg.dim_head)
-        rot_text = rope_table(total, cfg.text_dim_head)
-        rot_frames = rope_table(total, cfg.frames_dim_head)
+        clamp = lambda d: (rot_audio if d >= cfg.dim_head
+                           else rope_table(total, d))
+        rot_text = clamp(cfg.text_dim_head)
+        rot_frames = clamp(cfg.frames_dim_head)
 
         skips = []
         collected = None

@@ -23,6 +23,10 @@ class GLUFeedForward(nnx.Module):
 
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         v, gate = jnp.split(self.proj_in(x), 2, axis=-1)
-        h = v * nnx.gelu(gate)
+        # exact (erf) gelu: torch nn.GELU's default, which the reference's
+        # x_transformers FeedForward uses; the tanh approximation drifts
+        # ~1e-3 and would break checkpoint parity. Elementwise — XLA fuses it
+        # into the first matmul either way.
+        h = v * nnx.gelu(gate, approximate=False)
         h = self.dropout(h, deterministic=deterministic)
         return self.proj_out(h)

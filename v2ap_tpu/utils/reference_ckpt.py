@@ -73,10 +73,48 @@ def _set_linear(jmod, sd: _SD, key: str, bias: bool | None = None):
         jmod.bias[...] = jnp.asarray(sd.get(f"{key}.bias"))
 
 
-def _set_attention(attn, sd: _SD, key: str):
+def _rope_permute(w: np.ndarray, heads: int, dim_head: int,
+                  rot_dim: int) -> np.ndarray:
+    """Reorder q/k projection OUTPUT rows from the reference's interleaved
+    (GPT-J) rotary layout to this framework's half-split (NeoX) layout.
+
+    x-transformers 1.37.4 (the reference's pinned version,
+    /root/reference/requirements.txt:19) duplicates each rotary frequency
+    onto ADJACENT feature pairs (2i, 2i+1); `ops.rope` pairs (i, i + d/2)
+    instead, which is lane-friendlier on TPU. The two rotations are related
+    by a fixed per-head feature permutation P (R_neox = P R_gptj P^T), so
+    pre-permuting the checkpoint's q/k rows by P makes the attention logits
+    bit-equivalent: q'·k' = (P R q)·(P R k) = (R q)·(R k). v / out / gates
+    are untouched. Verified end to end by
+    tests/test_reference_forward_parity.py against the reference's executed
+    forward. Only rotary-receiving (self-attention) projections need this;
+    cross-attention gets no rotary and is loaded verbatim.
+
+    ``rot_dim`` is the rotary table width — the reference constructs ALL
+    three streams' RotaryEmbedding from the AUDIO ``dim_head``
+    (e2_tts_crossatt3.py:777-781), so a stream with wider heads gets partial
+    rotary and only its first ``rot_dim`` features per head are permuted."""
+    inner = heads * dim_head
+    assert w.shape[0] == inner, (w.shape, heads, dim_head)
+    assert rot_dim % 2 == 0 and rot_dim <= dim_head, (rot_dim, dim_head)
+    idx = np.arange(inner).reshape(heads, dim_head)
+    rot, tail = idx[:, :rot_dim], idx[:, rot_dim:]
+    perm = np.concatenate([rot[:, 0::2], rot[:, 1::2], tail],
+                          axis=1).reshape(-1)
+    return w[perm]
+
+
+def _set_attention(attn, sd: _SD, key: str, *, rotary: bool = True,
+                   rot_dim: int | None = None):
     q = sd.get(f"{key}.to_q.weight")
     k = sd.get(f"{key}.to_k.weight")
     v = sd.get(f"{key}.to_v.weight")
+    if rotary:
+        # clamp to the head width: a rope table wider than the head would
+        # crash the reference (see models/transformer.py rope-table note)
+        rd = attn.dim_head if rot_dim is None else min(rot_dim, attn.dim_head)
+        q = _rope_permute(q, attn.heads, attn.dim_head, rd)
+        k = _rope_permute(k, attn.heads, attn.dim_head, rd)
     if attn.fused_qkv:
         attn.to_qkv.kernel[...] = jnp.asarray(
             np.concatenate([q.T, k.T, v.T], axis=1))
@@ -209,6 +247,11 @@ def load_cfm_from_reference_state_dict(sd_raw: Dict[str, np.ndarray], cfm,
         if "cross_norm" in speech_idx and blk.cross_attn is not None:
             _set_adanorm(blk.cross_norm, sd,
                          f"{sp}.{speech_idx['cross_norm']}")
+            # cross-attention q/k rows are permuted TOO: with a context,
+            # x_transformers applies no rope and the shared permutation
+            # cancels in q·k; without one (promptless serving) attn2 runs as
+            # rotary self-attention and needs the same convention fix-up as
+            # the self-attention projections.
             _set_attention(blk.cross_attn, sd, f"{sp}.{speech_idx['cross']}")
             _set_adaln_zero(blk.cross_gate, sd,
                             f"{sp}.{speech_idx['cross_gate']}")
@@ -222,7 +265,8 @@ def load_cfm_from_reference_state_dict(sd_raw: Dict[str, np.ndarray], cfm,
             if "conv" in text_idx and tb.conv is not None:
                 _set_dwconv(tb.conv, sd, f"{tp}.{text_idx['conv']}")
             _set_rmsnorm(tb.attn_norm, sd, f"{tp}.{text_idx['attn_norm']}")
-            _set_attention(tb.attn, sd, f"{tp}.{text_idx['attn']}")
+            _set_attention(tb.attn, sd, f"{tp}.{text_idx['attn']}",
+                           rot_dim=cfg.dim_head)
             _set_rmsnorm(tb.ff_norm, sd, f"{tp}.{text_idx['ff_norm']}")
             _set_ff(tb.ff, sd, f"{tp}.{text_idx['ff']}")
             cc = t.cross_conditions[i]
@@ -243,7 +287,7 @@ def load_cfm_from_reference_state_dict(sd_raw: Dict[str, np.ndarray], cfm,
             fb = t.frames_blocks[i]
             _set_dwconv(fb.conv, sd, f"{fp}.0")
             _set_rmsnorm(fb.attn_norm, sd, f"{fp}.1")
-            _set_attention(fb.attn, sd, f"{fp}.2")
+            _set_attention(fb.attn, sd, f"{fp}.2", rot_dim=cfg.dim_head)
             _set_rmsnorm(fb.ff_norm, sd, f"{fp}.3")
             _set_ff(fb.ff, sd, f"{fp}.4")
 
