@@ -302,31 +302,42 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
     # cache READ and WRITE — the warmup-populated cache files stay on disk
     # untouched for the cached variants (clearing them here would silently
     # turn the cached runs into cold ones).
-    reps = int(os.environ.get("V2AP_BENCH_REPS", "3"))
+    reps = int(os.environ.get("V2AP_BENCH_REPS", "4"))
     samples: dict = {}
-    stage_samples: dict = {}
+    plan = [("e2e_cold_x_realtime", False, True, False),
+            ("v2p_e2e_x_realtime", True, True, False)]
+    if bench_bf16:
+        plan.append(("e2e_bf16_towers_x_realtime", False, False, False))
+    plan += [("e2e_cached_x_realtime", False, True, True),
+             ("v2p_cached_x_realtime", True, True, True)]
     for rep in range(reps):
-        plan = [("e2e_cold_x_realtime", False, True, False),
-                ("v2p_e2e_x_realtime", True, True, False)]
-        if bench_bf16:
-            plan.append(("e2e_bf16_towers_x_realtime", False, False, False))
-        plan += [("e2e_cached_x_realtime", False, True, True),
-                 ("v2p_cached_x_realtime", True, True, True)]
-        for key, piano, int8, cached in plan:
+        # rotate the variant order each rep: the r3s4 run showed a strong
+        # slot bias on this tunneled host (the first slot of a rep measured
+        # ~2x slower walls; an interleaved A/B probe found int8 == bf16), so
+        # no variant may own a fixed position
+        for key, piano, int8, cached in plan[rep % len(plan):] \
+                + plan[: rep % len(plan)]:
             set_cache(cached)
             set_int8(int8)
             _, audio_s, wall = run(piano, rep + 1)
             samples.setdefault(key, []).append(audio_s / wall)
-            if key == "e2e_cold_x_realtime" and getattr(
-                    pipe, "last_timings", None):
-                for k, v in pipe.last_timings.items():
-                    stage_samples.setdefault(k, []).append(v)
         set_int8(True)
     for key, vals in samples.items():
         result[key] = round(float(np.median(vals)), 3)
-    # per-stage medians across the COLD reps (host decode + tower vs sample)
-    for k, vals in stage_samples.items():
-        result[f"stage_{k}"] = round(float(np.median(vals)), 3)
+    # Per-stage split from ONE dedicated cold run with V2AP_STAGE_SYNC=1:
+    # on axon, block_until_ready is a no-op, so in the unsynced timed reps
+    # the tower drain lands inside sample_decode and the split lies. The
+    # synced run serialises stage boundaries (slightly slower wall — its
+    # realtime factor is deliberately NOT recorded).
+    set_cache(False)
+    os.environ["V2AP_STAGE_SYNC"] = "1"
+    try:
+        run(False, reps + 1)   # absorbs the sync path's own tiny-slice compile
+        run(False, reps + 2)   # reported run
+    finally:
+        os.environ.pop("V2AP_STAGE_SYNC", None)
+    for k, v in (getattr(pipe, "last_timings", None) or {}).items():
+        result[f"stage_{k}"] = round(float(v), 3)
     clear_cache()
     return result.get("e2e_cold_x_realtime")
 

@@ -110,3 +110,30 @@ def test_clip_preprocess_batch_matches_pil(shape, size):
     # for platform rounding differences in the double->int coefficient cast
     assert delta.max() <= 1, f"max|d|={delta.max()}"
     assert (delta > 0).mean() < 0.01
+
+
+def test_pack_yuv420_matches_numpy():
+    """Native fixed-point RGB->YUV420 matches the numpy float reference in
+    models/clip_vit.py to 1 LSB (rational coefficient rounding only)."""
+    from v2ap_tpu.models import clip_vit
+
+    rng = np.random.default_rng(1)
+    px = (rng.random((3, 32, 32, 3)) * 255).astype(np.uint8)
+    got = native.pack_yuv420(px)
+    assert got is not None, "native pack_yuv420 unavailable"
+    y_n, uv_n = got
+
+    # numpy reference path (bypass the native fast path)
+    f = px.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 + (b - y) / 1.772
+    cr = 128.0 + (r - y) / 1.402
+    t, s, _ = y.shape
+    h = s // 2
+    sub = lambda c: c.reshape(t, h, 2, h, 2).mean(axis=(2, 4))
+    y_ref = np.clip(y + 0.5, 0, 255).astype(np.uint8)
+    uv_ref = np.clip(np.stack([sub(cb), sub(cr)], 1) + 0.5,
+                     0, 255).astype(np.uint8)
+    assert np.abs(y_n.astype(int) - y_ref.astype(int)).max() <= 1
+    assert np.abs(uv_n.astype(int) - uv_ref.astype(int)).max() <= 1

@@ -317,3 +317,58 @@ def test_feature_cache_precision_tags(tmp_path):
     video_io.save_feature_cache(path, feats, 1.5)      # untagged
     assert video_io.load_feature_cache(path)[0] is not None
     assert video_io.load_feature_cache(path, tag="int8")[0] is None
+
+
+def test_yuv420_pack_unpack_roundtrip():
+    """YUV 4:2:0 shipping (V2AP_SHIP_YUV420): the pack/unpack pair is a
+    consistent forward/inverse, so smooth (natural-video-like) content
+    reconstructs to within chroma-resample + uint8 rounding error."""
+    import jax.numpy as jnp
+    from v2ap_tpu.models.clip_vit import pack_yuv420, unpack_yuv420
+
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64.0
+    smooth = np.clip(np.stack([
+        0.5 + 0.4 * np.sin(2 * np.pi * xx),
+        0.5 + 0.4 * np.cos(2 * np.pi * yy),
+        0.3 + 0.5 * xx * yy], -1) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    px = np.stack([smooth, np.roll(smooth, 5, axis=1)])
+    y, uv = pack_yuv420(px)
+    assert y.shape == (2, 64, 64) and uv.shape == (2, 2, 32, 32)
+    assert y.nbytes + uv.nbytes == px.nbytes // 2     # the point: half wire
+    rec = np.asarray(unpack_yuv420(jnp.asarray(y), jnp.asarray(uv),
+                                   jnp.zeros(3), jnp.ones(3)))
+    err = np.sqrt(np.mean((rec - px.astype(np.float32) / 255.0) ** 2))
+    assert err < 0.02, err          # ~2% of full scale on smooth content
+    # a gray image survives essentially exactly (zero chroma)
+    gray = np.full((1, 64, 64, 3), 119, np.uint8)
+    y, uv = pack_yuv420(gray)
+    rec = np.asarray(unpack_yuv420(jnp.asarray(y), jnp.asarray(uv),
+                                   jnp.zeros(3), jnp.ones(3)))
+    assert np.abs(rec - 119.0 / 255.0).max() < 2.5 / 255.0
+
+
+def test_generate_yuv420_ship_close_to_rgb(tmp_path, monkeypatch):
+    """V2AP_SHIP_YUV420=1 end to end: the tower consumes device-reconstructed
+    RGB; features (and thus audio) stay close to the RGB-shipped path, and
+    the cache tag separates the two pixel paths."""
+    import dataclasses
+    video = str(tmp_path / "yuv.mp4")
+    if not write_synthetic_video(video, frames=8, fps=4):
+        pytest.skip("cv2 video writer unavailable")
+    cfg = tiny_pipeline_cfg()
+    cfg = cfg.replace(conditioning=dataclasses.replace(
+        cfg.conditioning, feature_cache=False))
+    rgb_pipe = V2APipeline(cfg, t5_config=t5_tiny_test(),
+                           clip_config=clip_tiny_test())
+    f_rgb, _ = rgb_pipe.encode_video_frames_clip(video, 64)
+    monkeypatch.setenv("V2AP_SHIP_YUV420", "1")
+    yuv_pipe = V2APipeline(cfg, t5_config=t5_tiny_test(),
+                           clip_config=clip_tiny_test())
+    assert yuv_pipe._tower_tag.endswith("+yuv420")
+    f_yuv, _ = yuv_pipe.encode_video_frames_clip(video, 64)
+    f_rgb, f_yuv = np.asarray(f_rgb), np.asarray(f_yuv)
+    denom = np.sqrt(np.mean(f_rgb ** 2)) or 1.0
+    drift = np.sqrt(np.mean((f_rgb - f_yuv) ** 2)) / denom
+    assert 0 < drift < 0.1, drift   # engaged, but close
+    wav, sr = yuv_pipe.generate(video, "test", steps=2, seed=1)
+    assert sr == 24_000 and np.isfinite(wav).all() and len(wav) > 0

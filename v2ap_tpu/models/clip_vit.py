@@ -259,3 +259,63 @@ def device_normalize(px, mean, std):
 
     x = px.astype(jnp.float32) / 255.0
     return (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+
+
+# ------------------------------------------------- YUV 4:2:0 pixel shipping
+#
+# Serving hosts behind a tunnel move ~35 MB/s; the uint8 RGB frame batch for
+# a 10 s clip is ~35 MB, a hard ~1 s of the cold-serving wall. The source
+# video is h264 4:2:0 — its chroma was stored at half resolution to begin
+# with — so re-subsampling the chroma planes after resize and reconstructing
+# RGB on device halves the transfer (1.5 B/px) with only a chroma-resample
+# error on top of the uint8 rounding the RGB path already incurs.
+# Full-range BT.601; the forward/inverse pair below is exactly consistent,
+# so the loss is uint8 rounding + 2x2 chroma averaging only.
+
+def pack_yuv420(px: "np.ndarray"):
+    """uint8 RGB (t, S, S, 3), S even -> (y: (t,S,S) u8, uv: (t,2,S/2,S/2) u8).
+
+    Host-side. Chroma is 2x2 box-averaged. Native C++ fast path (fixed-point,
+    ~4x the numpy float path on the 1-core serving host) with a vectorised
+    numpy fallback; the two match to 1 LSB.
+    """
+    import numpy as np
+
+    from v2ap_tpu import native
+    fast = native.pack_yuv420(px)
+    if fast is not None:
+        return fast
+
+    f = px.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 + (b - y) / 1.772
+    cr = 128.0 + (r - y) / 1.402
+    t, s, _ = y.shape
+    h = s // 2
+
+    def sub(c):
+        return c.reshape(t, h, 2, h, 2).mean(axis=(2, 4))
+
+    y8 = np.clip(y + 0.5, 0, 255).astype(np.uint8)
+    uv = np.stack([sub(cb), sub(cr)], axis=1)
+    uv8 = np.clip(uv + 0.5, 0, 255).astype(np.uint8)
+    return y8, uv8
+
+
+def unpack_yuv420(y, uv, mean, std):
+    """Device-side inverse of ``pack_yuv420`` + CLIP normalisation:
+    (t,S,S) u8 + (t,2,S/2,S/2) u8 -> (t,S,S,3) normalised float."""
+    import jax.numpy as jnp
+
+    yf = y.astype(jnp.float32)
+    uvf = uv.astype(jnp.float32) - 128.0
+    # nearest 2x upsample of the chroma planes
+    uvf = jnp.repeat(jnp.repeat(uvf, 2, axis=-2), 2, axis=-1)
+    cb, cr = uvf[:, 0], uvf[:, 1]
+    r = yf + 1.402 * cr
+    b = yf + 1.772 * cb
+    g = (yf - 0.299 * r - 0.114 * b) / 0.587
+    x = jnp.stack([r, g, b], axis=-1) / 255.0
+    x = jnp.clip(x, 0.0, 1.0)
+    return (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)

@@ -71,6 +71,10 @@ def lib() -> Optional[ctypes.CDLL]:
         L.clip_preprocess_batch.argtypes = [
             c_u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, c_u8p]
+    if hasattr(L, "pack_yuv420"):             # absent in pre-r3s4 builds
+        L.pack_yuv420.restype = None
+        L.pack_yuv420.argtypes = [c_u8p, ctypes.c_int32, ctypes.c_int32,
+                                  c_u8p, c_u8p]
     _LIB = L
     return _LIB
 
@@ -135,6 +139,22 @@ def gray_resize(rgb: np.ndarray, out_h: int, out_w: int) -> Optional[np.ndarray]
     out = np.empty((out_h, out_w), np.float32)
     L.gray_resize(rgb, h, w, out_h, out_w, out)
     return out
+
+
+def pack_yuv420(px: np.ndarray):
+    """uint8 RGB (t, s, s, 3), s even -> (y (t,s,s), uv (t,2,s/2,s/2)) uint8
+    (full-range BT.601, chroma 2x2 box-averaged). None -> numpy fallback."""
+    L = lib()
+    if L is None or not hasattr(L, "pack_yuv420"):
+        return None
+    px = np.ascontiguousarray(px, np.uint8)
+    t, s, s2, c = px.shape
+    if c != 3 or s != s2 or s % 2:
+        return None
+    y = np.empty((t, s, s), np.uint8)
+    uv = np.empty((t, 2, s // 2, s // 2), np.uint8)
+    L.pack_yuv420(px, t, s, y, uv)
+    return y, uv
 
 
 def clip_preprocess_batch(frames: np.ndarray, size: int

@@ -340,4 +340,61 @@ void clip_preprocess_batch(const uint8_t* frames, int32_t t, int32_t h,
     }
 }
 
+// RGB -> YUV 4:2:0 packing for the serving wire format (full-range BT.601,
+// mirrors models/clip_vit.py pack_yuv420): input uint8 RGB (t, s, s, 3) with
+// s even; outputs y (t, s, s) and uv (t, 2, s/2, s/2) = (Cb, Cr) planes,
+// chroma 2x2 box-averaged. Fixed-point (2^20) arithmetic; matches the numpy
+// float path to within 1 LSB (rational coefficient rounding only).
+void pack_yuv420(const uint8_t* rgb, int32_t t, int32_t s,
+                 uint8_t* y_out, uint8_t* uv_out) {
+    // Y per pixel in int32 2^16 fixed point (max 255*2^16 fits comfortably).
+    const int32_t cR = 19595, cG = 38470, cB = 7471;       // *2^16, sum=2^16
+    // Chroma is linear in RGB, so the 2x2 box average commutes with the
+    // YCbCr transform: compute Cb/Cr once per block from the RGB block sums
+    // (4x less chroma arithmetic, no intermediate planes).
+    const int64_t kCb = 36984;    // (1/1.772) * 2^16
+    const int64_t kCr = 46743;    // (1/1.402) * 2^16
+    const int h = s / 2;
+    for (int32_t f = 0; f < t; ++f) {
+        const uint8_t* src = rgb + (size_t)f * s * s * 3;
+        uint8_t* ydst = y_out + (size_t)f * s * s;
+        uint8_t* cbd = uv_out + (size_t)f * 2 * h * h;
+        uint8_t* crd = cbd + (size_t)h * h;
+        for (int yy = 0; yy < h; ++yy) {
+            const uint8_t* row0 = src + (size_t)(2 * yy) * s * 3;
+            const uint8_t* row1 = row0 + (size_t)s * 3;
+            uint8_t* yrow0 = ydst + (size_t)(2 * yy) * s;
+            uint8_t* yrow1 = yrow0 + s;
+            for (int xx = 0; xx < h; ++xx) {
+                const uint8_t* p00 = row0 + (size_t)(2 * xx) * 3;
+                const uint8_t* p01 = p00 + 3;
+                const uint8_t* p10 = row1 + (size_t)(2 * xx) * 3;
+                const uint8_t* p11 = p10 + 3;
+                const int32_t y00 = cR * p00[0] + cG * p00[1] + cB * p00[2];
+                const int32_t y01 = cR * p01[0] + cG * p01[1] + cB * p01[2];
+                const int32_t y10 = cR * p10[0] + cG * p10[1] + cB * p10[2];
+                const int32_t y11 = cR * p11[0] + cG * p11[1] + cB * p11[2];
+                yrow0[2 * xx] = (uint8_t)((y00 + (1 << 15)) >> 16);
+                yrow0[2 * xx + 1] = (uint8_t)((y01 + (1 << 15)) >> 16);
+                yrow1[2 * xx] = (uint8_t)((y10 + (1 << 15)) >> 16);
+                yrow1[2 * xx + 1] = (uint8_t)((y11 + (1 << 15)) >> 16);
+                const int32_t rs = p00[0] + p01[0] + p10[0] + p11[0];
+                const int32_t bs = p00[2] + p01[2] + p10[2] + p11[2];
+                const int64_t ys = (int64_t)y00 + y01 + y10 + y11;  // *2^16
+                // mean diff in 2^16 fp: ((sum<<16) - ys) / 4
+                const int64_t db = (((int64_t)bs << 16) - ys) >> 2;
+                const int64_t dr = (((int64_t)rs << 16) - ys) >> 2;
+                int64_t b8 = ((db * kCb >> 16) + (128 << 16) + (1 << 15))
+                             >> 16;
+                int64_t r8 = ((dr * kCr >> 16) + (128 << 16) + (1 << 15))
+                             >> 16;
+                cbd[(size_t)yy * h + xx] =
+                    (uint8_t)(b8 < 0 ? 0 : (b8 > 255 ? 255 : b8));
+                crd[(size_t)yy * h + xx] =
+                    (uint8_t)(r8 < 0 ? 0 : (r8 > 255 ? 255 : r8));
+            }
+        }
+    }
+}
+
 }  // extern "C"

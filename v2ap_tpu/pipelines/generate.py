@@ -175,9 +175,32 @@ class V2APipeline:
         self._clip_fwd = nnx.jit(lambda m, px: m(px))
         # serving path: pixels arrive uint8 (4x less tunnel/PCIe traffic than
         # f32) and normalise on device before the tower
-        from v2ap_tpu.models.clip_vit import device_normalize
+        from v2ap_tpu.models.clip_vit import device_normalize, unpack_yuv420
         self._tower_fwd = nnx.jit(
             lambda m, px, mean, std: m(device_normalize(px, mean, std)))
+        # YUV 4:2:0 pixel shipping (V2AP_SHIP_YUV420=1): halves the
+        # host->device frame transfer on tunneled hosts; the source video is
+        # h264 4:2:0 so the chroma re-subsample adds only a small resample
+        # error (see scripts/probe_yuv_drift.py for the measured feature
+        # drift). RGB reconstruction happens inside the jitted tower.
+        self._tower_fwd_yuv = nnx.jit(
+            lambda m, y, uv, mean, std: m(unpack_yuv420(y, uv, mean, std)))
+        # Default ON only behind the axon tunnel, where the wire (~35 MB/s)
+        # is the bottleneck the halved transfer attacks (+6% cold RTF
+        # measured, scripts/probe_serving_variants.py); on directly-attached
+        # hosts the PCIe copy is ~10 ms and the host-side pack would be a
+        # net loss. Feature drift on video-like content: 0.79% rel-rms
+        # (probe_yuv_drift.py) — under the bf16 compute dtype's 1.39%.
+        env = os.environ.get("V2AP_SHIP_YUV420")
+        if env is not None:
+            self._ship_yuv420 = env == "1"
+        else:
+            try:
+                self._ship_yuv420 = jax.default_backend() == "axon"
+            except Exception:
+                self._ship_yuv420 = False
+        if self._ship_yuv420:     # caches written under one pixel path must
+            self._tower_tag += "+yuv420"   # not serve the other
         self._decode = nnx.jit(lambda m, lat: m.decode(lat))
         self._encode_audio = nnx.jit(lambda m, wav: m.encode(wav))
         self._sample = nnx.jit(
@@ -270,11 +293,20 @@ class V2APipeline:
             dp = self._mesh.shape[self._mesh.axis_names[0]]
             chunk = ((chunk + dp - 1) // dp) * dp
 
+        ship_yuv = (self._ship_yuv420
+                    and self._frame_sharding is None)   # pod path ships RGB
+
         def dispatch(part):
             pad = chunk - len(part)
             if pad:
                 part = np.concatenate(
                     [part, np.zeros((pad,) + part.shape[1:], part.dtype)])
+            if ship_yuv:
+                from v2ap_tpu.models.clip_vit import pack_yuv420
+                y, uv = pack_yuv420(part)
+                return pad, self._tower_fwd_yuv(
+                    tower.model, self._jnp.asarray(y), self._jnp.asarray(uv),
+                    mean, std)
             dev = (self._jax.device_put(part, self._frame_sharding)
                    if self._frame_sharding is not None
                    else self._jnp.asarray(part))
@@ -325,7 +357,8 @@ class V2APipeline:
         return feats, duration
 
     def encode_video_frames_clip(self, video_path: str, length: int,
-                                 chunk: int = 64, frames_cache=None):
+                                 chunk: Optional[int] = None,
+                                 frames_cache=None):
         """Per-frame embeddings from the configured video tower(s),
         interpolated to the latent rate, with the reference's on-disk npz
         cache (e2_tts_crossatt3.py:1679-1813). In "mixed" mode the four
@@ -333,6 +366,8 @@ class V2APipeline:
         reference :1786-1789)."""
         from v2ap_tpu.data import video_io
 
+        if chunk is None:     # 64 won the r3 ablation; env knob for re-probes
+            chunk = int(os.environ.get("V2AP_TOWER_CHUNK", "64"))
         frames_cache = [] if frames_cache is None else frames_cache
         per_tower = []
         duration = None
@@ -476,6 +511,16 @@ class V2APipeline:
             probe_len = int(max_duration_s * sr / cond.frame_size)
             text_embed_np, video_duration = self.encode_video_frames_clip(
                 video_path, probe_len, frames_cache=decoded)
+            if (os.environ.get("V2AP_STAGE_SYNC") == "1"
+                    and text_embed_np is not None
+                    and not isinstance(text_embed_np, np.ndarray)):
+                # profiling-only drain: on axon, block_until_ready is a no-op
+                # and the tower compute would otherwise drain inside the
+                # sample_decode stage, mis-attributing device time. A tiny
+                # host fetch forces the producing program to finish. Never on
+                # by default — it serialises tower drain against the sampler
+                # dispatch and costs real wall-clock.
+                np.asarray(text_embed_np[:1, :1])
         timings["video_encode_s"] = _time.perf_counter() - _t0
         timings.update(self._stage_timings)   # host decode/preprocess split
         _t0 = _time.perf_counter()
