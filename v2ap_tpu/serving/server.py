@@ -146,12 +146,21 @@ class V2APHandler(BaseHTTPRequestHandler):
         return fields, files
 
     def do_POST(self):
+        # metrics are observed BEFORE the response bytes go out: a client that
+        # finishes reading its response and immediately scrapes /metrics must
+        # see its own request counted (observing in a ``finally`` after
+        # ``_send`` raced exactly that scrape)
         piano = self.path.rstrip("/").endswith("v2p")
         t0 = time.perf_counter()
-        ok = False
+
+        def done(ok: bool):
+            self.metrics.observe("v2p" if piano else "v2a",
+                                 time.perf_counter() - t0, ok)
+
         try:
             fields, files = self._parse_multipart()
             if "video" not in files:
+                done(False)
                 self._send(400, b'{"error": "missing video upload"}',
                            "application/json")
                 return
@@ -177,14 +186,13 @@ class V2APHandler(BaseHTTPRequestHandler):
                 write_wav(out_wav, wav, sr)
                 with open(out_wav, "rb") as f:
                     data = f.read()
-            self._send(200, data, "audio/wav")
-            ok = True
         except Exception as exc:
+            done(False)
             self._send(500, json.dumps({"error": str(exc)}).encode(),
                        "application/json")
-        finally:
-            self.metrics.observe("v2p" if piano else "v2a",
-                                 time.perf_counter() - t0, ok)
+            return
+        done(True)
+        self._send(200, data, "audio/wav")
 
     def log_message(self, fmt, *args):  # quiet
         pass
