@@ -49,11 +49,26 @@ def _write_video(path: str, seconds: float = 9.8, fps: int = 24,
     return os.path.getsize(path) > 0
 
 
+def record(result: dict, key: str, samples: list) -> None:
+    """Median as the headline value plus a {min,max,n} spread entry — a
+    driver-visible number must be classifiable as noise vs regression at a
+    glance (VERDICT r3 weak #2: the r01->r03 headline drifted 9% with no way
+    to tell)."""
+    vals = [float(v) for v in samples]
+    result[key] = round(float(np.median(vals)), 3)
+    if len(vals) > 1:
+        result.setdefault("spread", {})[key] = {
+            "min": round(min(vals), 3), "max": round(max(vals), 3),
+            "n": len(vals)}
+
+
 def bench_hot_loop(cfg, sampler, result: dict) -> None:
-    """Round-1 metric: jitted sample+decode on random conditioning."""
+    """Round-1 metric: jitted sample+decode on random conditioning; plus the
+    multipass (BASELINE config 4) and few-step distilled serving modes."""
     import jax
     import jax.numpy as jnp
     from flax import nnx
+    from v2ap_tpu.config import SamplerConfig
     from v2ap_tpu.models.cfm import CFM
     from v2ap_tpu.models.encodec import EncodecModel
     from v2ap_tpu.utils.jitting import create_model
@@ -89,20 +104,62 @@ def bench_hot_loop(cfg, sampler, result: dict) -> None:
     ctx = r(b, nc, cfg.model.dim_context)
     ctx_mask = jnp.ones((b, nc), bool)
 
-    # compile + warmup (block via host transfer: block_until_ready on remote
-    # axon arrays does not reliably block)
-    wav = generate(state, cstate, x0, text, frames, ctx, ctx_mask)
-    _ = np.asarray(wav[:, :8])
+    def timed_rtf(fn, key, reps=3):
+        """compile+warmup once, then reps timed runs -> x-realtime spread.
+        Blocks via host transfer: block_until_ready on remote axon arrays
+        does not reliably block."""
+        wav = fn(0)
+        _ = np.asarray(wav[:, :8])
+        vals = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            wav = fn(i + 1)
+            _ = np.asarray(wav[:, :8])        # forces full execution
+            vals.append(audio_seconds / (time.perf_counter() - t0))
+        record(result, key, vals)
 
-    times = []
-    for i in range(3):
-        x0_i = x0 + float(i) * 1e-6       # distinct input each run
-        t0 = time.perf_counter()
-        wav = generate(state, cstate, x0_i, text, frames, ctx, ctx_mask)
-        _ = np.asarray(wav[:, :8])        # forces full execution
-        times.append(time.perf_counter() - t0)
-    result["hot_loop_x_realtime"] = round(
-        audio_seconds / float(np.median(times)), 3)
+    timed_rtf(lambda i: generate(state, cstate, x0 + float(i) * 1e-6, text,
+                                 frames, ctx, ctx_mask),
+              "hot_loop_x_realtime")
+
+    if os.environ.get("V2AP_BENCH_EXTRA_MODES", "1") == "1":
+        # BASELINE config 4: multi-pass refinement (restart sampling) —
+        # full ODE pass + one partial re-noised pass (CFM.sample_multipass;
+        # reference CFG loop e2_tts_crossatt3.py:2090-2113 run per pass)
+        @jax.jit
+        def generate_mp(state, cstate, x0, rng, text, frames, ctx, ctx_mask):
+            m = nnx.merge(graphdef, state)
+            latents = m.sample_multipass(
+                x0, rng=rng, passes=2, restart_t=0.6, text_embed=text,
+                frames_embed=frames, context=ctx, context_mask=ctx_mask,
+                mask=None, sampler=sampler)
+            return nnx.merge(cgraph, cstate).decode(latents)
+
+        mp_rng = jax.random.key(0)
+        timed_rtf(lambda i: generate_mp(state, cstate, x0 + float(i) * 1e-6,
+                                        mp_rng, text, frames, ctx, ctx_mask),
+                  "multipass_x_realtime")
+
+        # few-step distilled serving mode: the reflow student's sampler
+        # (uniform steps, NO CFG -> single forward per step; training/
+        # distill.py fewstep_sampler). Weights here are untrained, so this
+        # measures the speed of the mode, not its quality — the quality bound
+        # is pinned at tiny scale in tests/test_distill.py.
+        fs = SamplerConfig(
+            steps=int(os.environ.get("V2AP_BENCH_FEWSTEP", "4")),
+            cfg_strength=0.0, sway_sampling=False)
+
+        @jax.jit
+        def generate_fs(state, cstate, x0, text, frames, ctx, ctx_mask):
+            m = nnx.merge(graphdef, state)
+            latents = m.sample(x0, text_embed=text, frames_embed=frames,
+                               context=ctx, context_mask=ctx_mask, mask=None,
+                               sampler=fs)
+            return nnx.merge(cgraph, cstate).decode(latents)
+
+        timed_rtf(lambda i: generate_fs(state, cstate, x0 + float(i) * 1e-6,
+                                        text, frames, ctx, ctx_mask),
+                  "fewstep_x_realtime")
 
     # int8 CFM core, reported as an extra key (AQT dynamic-range; latents
     # shift ~1.6% rms vs bf16 so it is never the primary metric — see
@@ -123,18 +180,10 @@ def bench_hot_loop(cfg, sampler, result: dict) -> None:
                 c = nnx.merge(cgraph, cstate)
                 return c.decode(latents)
 
-            wav = generate_i8(state_i8, cstate, x0, text, frames, ctx,
-                              ctx_mask)
-            _ = np.asarray(wav[:, :8])
-            times_i8 = []
-            for i in range(3):
-                t0 = time.perf_counter()
-                wav = generate_i8(state_i8, cstate, x0 + float(i + 1) * 1e-6,
-                                  text, frames, ctx, ctx_mask)
-                _ = np.asarray(wav[:, :8])
-                times_i8.append(time.perf_counter() - t0)
-            result["hot_loop_int8_x_realtime"] = round(
-                audio_seconds / float(np.median(times_i8)), 3)
+            timed_rtf(lambda i: generate_i8(state_i8, cstate,
+                                            x0 + float(i + 1) * 1e-6, text,
+                                            frames, ctx, ctx_mask),
+                      "hot_loop_int8_x_realtime")
         except Exception as exc:
             result["int8_error"] = f"{type(exc).__name__}: {exc}"[:120]
 
@@ -323,7 +372,7 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
             samples.setdefault(key, []).append(audio_s / wall)
         set_int8(True)
     for key, vals in samples.items():
-        result[key] = round(float(np.median(vals)), 3)
+        record(result, key, vals)
     # Per-stage split from ONE dedicated cold run with V2AP_STAGE_SYNC=1:
     # on axon, block_until_ready is a no-op, so in the unsynced timed reps
     # the tower drain lands inside sample_decode and the split lies. The
@@ -339,7 +388,80 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
     for k, v in (getattr(pipe, "last_timings", None) or {}).items():
         result[f"stage_{k}"] = round(float(v), 3)
     clear_cache()
-    return result.get("e2e_cold_x_realtime")
+    return result.get("e2e_cold_x_realtime"), pipe
+
+
+def bench_long_video(cfg, result: dict, pipe, *, seconds: float = 60.0,
+                     chunk_s: float = 10.0, overlap_s: float = 1.0,
+                     steps: int = 25, reps: int = 2,
+                     video: str | None = None) -> None:
+    """BASELINE config 5: long video -> chunk plan -> ONE batched sampler
+    call -> equal-power crossfade merge (pipelines/merge.py; the reference
+    pre-cuts clips offline and sox-concats, merge_wavs.py:30-48). The feature
+    cache is ON: the first call pays CLIP + compiles, the timed reps measure
+    the chunked batched sampling + merge — the capability this config adds
+    over config 1."""
+    import dataclasses
+    from v2ap_tpu.pipelines import merge as merge_mod
+
+    if video is None:
+        video = os.path.join(tempfile.gettempdir(), "v2ap_bench_long.mp4")
+    if not os.path.exists(video) and not _write_video(video, seconds=seconds):
+        return
+    old_cfg = pipe.cfg
+    pipe.cfg = pipe.cfg.replace(conditioning=dataclasses.replace(
+        pipe.cfg.conditioning, feature_cache=True))
+    try:
+        wav, sr = merge_mod.generate_long(pipe, video, chunk_s=chunk_s,
+                                          overlap_s=overlap_s, steps=steps)
+        audio_s = len(wav) / sr
+        vals = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            wav, sr = merge_mod.generate_long(pipe, video, chunk_s=chunk_s,
+                                              overlap_s=overlap_s, steps=steps)
+            _ = float(wav[0])            # host value: full execution forced
+            vals.append(audio_s / (time.perf_counter() - t0))
+        record(result, "longvideo_x_realtime", vals)
+        result["longvideo_audio_seconds"] = round(audio_s, 2)
+        result["longvideo_chunks"] = len(
+            merge_mod.chunk_plan(audio_s, chunk_s, overlap_s))
+    except Exception as exc:
+        result["longvideo_error"] = f"{type(exc).__name__}: {exc}"[:160]
+    finally:
+        pipe.cfg = old_cfg
+
+
+def compare_previous_round(primary: dict, repo_dir: str | None = None) -> None:
+    """Regression gate (VERDICT r3 next-step #4): diff the perf keys against
+    the newest BENCH_r*.json and flag >10% drops under ``regressions`` so a
+    drifted headline is classifiable at a glance (spread says noise,
+    regressions says act)."""
+    import glob
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    if not files:
+        return
+    try:
+        with open(files[-1]) as f:
+            prev = json.load(f).get("parsed") or {}
+    except Exception:
+        return
+    primary["prev_round"] = os.path.basename(files[-1])
+    regressions = {}
+    for k, v in list(primary.items()):
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            continue
+        watched = (k.endswith("_x_realtime") or k.endswith("_mfu")
+                   or k in ("value", "clips_per_min"))
+        pv = prev.get(k)
+        if watched and isinstance(pv, (int, float)) and pv > 0:
+            pct = (v - pv) / pv * 100.0
+            if pct <= -10.0:
+                regressions[k] = {"prev": pv, "now": v,
+                                  "pct": round(pct, 1)}
+    if regressions:
+        primary["regressions"] = regressions
 
 
 def bench_training(result: dict) -> None:
@@ -381,10 +503,12 @@ def main() -> None:
     result: dict = {}
     bench_hot_loop(cfg, sampler, result)
     try:
-        e2e = bench_end_to_end(cfg, result)
+        e2e, pipe = bench_end_to_end(cfg, result)
     except Exception as exc:          # report the hot loop even if e2e breaks
         result["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
-        e2e = None
+        e2e, pipe = None, None
+    if pipe is not None and os.environ.get("V2AP_BENCH_LONGVIDEO", "1") == "1":
+        bench_long_video(cfg, result, pipe)
 
     # primary metric stays the round-1 hot loop (cross-round comparable);
     # the e2e numbers ride as extra keys: e2e_cold_x_realtime pays video
@@ -400,6 +524,7 @@ def main() -> None:
         primary["e2e_cold_x_realtime"] = round(e2e, 3)
     primary.update(result)
     primary.update(result_train)
+    compare_previous_round(primary)
     print(json.dumps(primary))
 
 

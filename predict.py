@@ -46,7 +46,11 @@ class Predictor:
 
     def predict(self, video: str, prompt: str = "",
                 v2a_num_steps: int = 25, if_piano: bool = False,
-                out_dir: Optional[str] = None, seed: int = 0) -> str:
+                out_dir: Optional[str] = None, seed: int = 0,
+                fewstep: Optional[int] = None) -> str:
+        """``fewstep=N`` serves with a reflow-distilled student (N uniform
+        Euler steps, no CFG — pass the student checkpoint to ``setup``);
+        see v2ap_tpu/training/distill.py."""
         assert self.pipeline is not None, "call setup() first"
         out_dir = out_dir or tempfile.mkdtemp(prefix="v2ap_")
         os.makedirs(out_dir, exist_ok=True)
@@ -54,7 +58,8 @@ class Predictor:
         out_path = os.path.join(out_dir, f"{stem}.generated.mp4")
         from v2ap_tpu.data.video_io import mux_audio_onto_video
         wav, sr = self.pipeline.generate(
-            video, prompt, steps=v2a_num_steps, piano=if_piano, seed=seed)
+            video, prompt, steps=v2a_num_steps, piano=if_piano, seed=seed,
+            fewstep=fewstep)
         muxed = mux_audio_onto_video(video, wav, sr, out_path)
         # without a muxer the wav sits next to the target path
         return out_path if muxed else os.path.splitext(out_path)[0] + ".wav"
@@ -69,7 +74,11 @@ if __name__ == "__main__":
     ap.add_argument("--piano", action="store_true")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--fewstep", type=int, default=None,
+                    help="reflow-distilled serving: N uniform steps, no CFG "
+                         "(pass the distilled student via --ckpt)")
     args = ap.parse_args()
     p = Predictor(tiny=args.tiny)
     p.setup(args.ckpt)
-    print(p.predict(args.video, args.prompt, args.steps, args.piano))
+    print(p.predict(args.video, args.prompt, args.steps, args.piano,
+                    fewstep=args.fewstep))

@@ -3,10 +3,12 @@
 The driver runs ``python bench.py`` on real TPU at the end of every round
 and records the JSON for the judge — a silent breakage there loses the
 round's perf evidence, so the orchestration logic (variant plan, int8/bf16
-toggling, cache handling, stage keys) is regression-tested here with tiny
-configs. Timing VALUES are meaningless on CPU; only key presence/finiteness
-is asserted.
+toggling, cache handling, stage keys, long-video key, spread + regression
+gating) is regression-tested here with tiny configs. Timing VALUES are
+meaningless on CPU; only key presence/finiteness is asserted.
 """
+
+import json
 
 import numpy as np
 import pytest
@@ -33,9 +35,10 @@ def test_bench_end_to_end_keys(tmp_path, monkeypatch):
 
     cfg = tiny_pipeline_cfg()
     result: dict = {}
-    e2e = bench.bench_end_to_end(cfg, result, pipeline_factory=factory,
-                                 video=video)
+    e2e, pipe = bench.bench_end_to_end(cfg, result, pipeline_factory=factory,
+                                       video=video)
     assert e2e is not None and np.isfinite(e2e) and e2e > 0
+    assert pipe is not None
     for key in ("e2e_cold_x_realtime", "v2p_e2e_x_realtime",
                 "e2e_bf16_towers_x_realtime", "e2e_cached_x_realtime",
                 "v2p_cached_x_realtime", "e2e_audio_seconds",
@@ -47,3 +50,51 @@ def test_bench_end_to_end_keys(tmp_path, monkeypatch):
     assert result["int8_tower_feat_drift_rel_rms"] > 0
     # per-stage medians of the cold reps made it out
     assert any(k.startswith("stage_") for k in result)
+
+    # BASELINE config 5 (long video -> chunked batched sample -> crossfade):
+    # reuse the same pipeline, tiny chunking over a short synthetic clip
+    long_video = str(tmp_path / "bench_long.mp4")
+    assert write_synthetic_video(long_video, frames=32, fps=4)
+    bench.bench_long_video(cfg, result, pipe, seconds=8.0, chunk_s=2.0,
+                           overlap_s=0.5, steps=2, reps=2, video=long_video)
+    assert "longvideo_error" not in result, result.get("longvideo_error")
+    assert result["longvideo_x_realtime"] > 0
+    assert result["longvideo_chunks"] >= 2
+    assert result["longvideo_audio_seconds"] > 0
+    # spread emitted for multi-rep keys
+    assert "longvideo_x_realtime" in result["spread"]
+    sp = result["spread"]["longvideo_x_realtime"]
+    assert sp["n"] == 2 and sp["min"] <= result["longvideo_x_realtime"] \
+        <= sp["max"]
+
+
+def test_record_spread():
+    import bench
+    result: dict = {}
+    bench.record(result, "k", [1.0, 3.0, 2.0])
+    assert result["k"] == 2.0
+    assert result["spread"]["k"] == {"min": 1.0, "max": 3.0, "n": 3}
+    bench.record(result, "single", [5.0])
+    assert result["single"] == 5.0 and "single" not in result["spread"]
+
+
+def test_compare_previous_round(tmp_path):
+    import bench
+    prev = {"parsed": {"value": 16.0, "e2e_cold_x_realtime": 2.7,
+                       "train_mfu": 0.243, "e2e_audio_seconds": 9.8}}
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(prev))
+    primary = {"value": 12.0,                  # -25% -> flagged
+               "e2e_cold_x_realtime": 2.65,    # -1.8% -> not flagged
+               "train_mfu": 0.30,              # improvement -> not flagged
+               "e2e_audio_seconds": 1.0,       # not a watched key
+               "unit": "x"}
+    bench.compare_previous_round(primary, repo_dir=str(tmp_path))
+    assert primary["prev_round"] == "BENCH_r03.json"
+    assert set(primary["regressions"]) == {"value"}
+    assert primary["regressions"]["value"]["prev"] == 16.0
+    assert primary["regressions"]["value"]["pct"] == -25.0
+
+    # no BENCH files -> no-op
+    primary2 = {"value": 1.0}
+    bench.compare_previous_round(primary2, repo_dir=str(tmp_path / "empty"))
+    assert "prev_round" not in primary2

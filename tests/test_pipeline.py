@@ -372,3 +372,62 @@ def test_generate_yuv420_ship_close_to_rgb(tmp_path, monkeypatch):
     assert 0 < drift < 0.1, drift   # engaged, but close
     wav, sr = yuv_pipe.generate(video, "test", steps=2, seed=1)
     assert sr == 24_000 and np.isfinite(wav).all() and len(wav) > 0
+
+
+def test_generate_fewstep_mode(pipeline, tmp_path):
+    """fewstep=N = reflow-distilled serving: N uniform Euler steps, no CFG.
+    Must run end to end and differ from the 25-step CFG path (different
+    sampler program), with identical output shape."""
+    video = str(tmp_path / "fs.mp4")
+    if not write_synthetic_video(video):
+        pytest.skip("cv2 video writer unavailable")
+    w_ref, sr = pipeline.generate(video, "rain", steps=4, seed=3)
+    w_fs, sr2 = pipeline.generate(video, "rain", steps=25, fewstep=4, seed=3)
+    assert sr == sr2 and w_fs.shape == w_ref.shape
+    assert np.isfinite(w_fs).all()
+    assert not np.allclose(w_fs, w_ref)     # no-CFG single-forward field
+
+
+def test_frame_stride_subsampled_conditioning(tmp_path, monkeypatch):
+    """V2AP_FRAME_STRIDE=2: the tower encodes every 2nd frame and the
+    conditioning lerps between anchors — close to the stride-1 features on
+    smooth content, cheaper by ~2x tower frames, cache-tagged separately."""
+    import dataclasses
+    video = str(tmp_path / "stride.mp4")
+    if not write_synthetic_video(video, frames=16, fps=4):
+        pytest.skip("cv2 video writer unavailable")
+    cfg = tiny_pipeline_cfg()
+    cfg = cfg.replace(conditioning=dataclasses.replace(
+        cfg.conditioning, feature_cache=False))
+    base = V2APipeline(cfg, t5_config=t5_tiny_test(),
+                       clip_config=clip_tiny_test())
+    f1, _ = base.encode_video_frames_clip(video, 64)
+    monkeypatch.setenv("V2AP_FRAME_STRIDE", "2")
+    strided = V2APipeline(cfg, t5_config=t5_tiny_test(),
+                          clip_config=clip_tiny_test())
+    assert strided._frame_stride == 2
+    assert strided._tower_tag.endswith("+s2")
+    f2, _ = strided.encode_video_frames_clip(video, 64)
+    f1, f2 = np.asarray(f1), np.asarray(f2)
+    assert f1.shape == f2.shape
+    denom = np.sqrt(np.mean(f1 ** 2)) or 1.0
+    drift = np.sqrt(np.mean((f1 - f2) ** 2)) / denom
+    assert 0 < drift < 0.5, drift     # engaged but correlated
+    # end to end still works under stride
+    wav, sr = strided.generate(video, "", steps=2, seed=0)
+    assert sr == 24_000 and np.isfinite(wav).all() and len(wav) > 0
+
+
+def test_interp_weights_clip_matches_nearest_at_half():
+    """The lerp plan at w=0/1 endpoints reduces to the nearest plan's
+    neighbors; weights stay in [0,1] and indices in range."""
+    from v2ap_tpu.data.video_io import interp_indices_clip, interp_weights_clip
+    idx = interp_indices_clip(10, 2.0, 64)
+    i0, i1, w = interp_weights_clip(10, 2.0, 64)
+    assert i0.shape == i1.shape == w.shape == idx.shape
+    assert (i0 <= idx).all() and (idx <= i1 + 1).all()
+    assert (0 <= w).all() and (w <= 1).all()
+    assert ((i1 - i0) <= 1).all() and (i1 >= i0).all()
+    # blended result with round(w) recovers the nearest gather
+    near = np.where(w > 0.5, i1, i0)
+    np.testing.assert_array_equal(near, idx)

@@ -115,6 +115,14 @@ class ConditioningConfig:
     frac_lengths_mask: Tuple[float, float] = (0.7, 1.0)
     audiocond_snr: Optional[Tuple[float, float]] = None
     feature_cache: bool = True                 # on-disk .npz frame-feature cache
+    # Serving-only conditioning subsample: encode every Nth video frame
+    # through the vision tower and linearly interpolate features between the
+    # encoded anchors (stride 1 = reference parity, every frame + nearest
+    # interp, e2_tts_crossatt3.py:1800-1813). The tower pass dominates cold
+    # serving, so stride N cuts its device time ~N-fold; feature drift is
+    # bounded by scripts/probe_subsample_drift.py. Env V2AP_FRAME_STRIDE
+    # overrides at pipeline construction.
+    frame_stride: int = 1
     # piano branch
     piano_frame_h: int = 100
     piano_frame_w: int = 900

@@ -240,6 +240,30 @@ def interp_indices_clip(num_source: int, duration: float, length: int,
     return np.clip(idx.astype(np.int64), 0, num_source - 1)
 
 
+def interp_weights_clip(num_source: int, duration: float, length: int,
+                        start_sample: int = 0,
+                        max_sample: Optional[int] = None,
+                        sample_rate: int = SAMPLE_RATE,
+                        frame_size: int = FRAME_SIZE
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Linear-interpolation gather plan for frame-subsampled conditioning
+    (``ConditioningConfig.frame_stride`` > 1): per-hop fractional positions
+    over the encoded anchor frames, returned as (idx0, idx1, w) so the device
+    side computes feats[idx0]*(1-w) + feats[idx1]*w. The anchors are assumed
+    to span ``duration`` uniformly (exact for stride 1; at stride N the tail
+    anchor may sit up to N-1 source frames early — immaterial for smooth
+    per-frame embeddings, and bounded by scripts/probe_subsample_drift.py)."""
+    if max_sample is None:
+        max_sample = int(duration * sample_rate)
+    samples = np.arange(start_sample, max_sample, frame_size)[:length]
+    denom = duration / max(num_source - 1, 1)
+    pos = (samples + frame_size // 2) / sample_rate / denom
+    idx0 = np.clip(np.floor(pos).astype(np.int64), 0, num_source - 1)
+    idx1 = np.minimum(idx0 + 1, num_source - 1)
+    w = np.clip(pos - idx0, 0.0, 1.0).astype(np.float32)
+    return idx0, idx1, w
+
+
 def interp_indices_piano(num_source: int, duration: float, length: int,
                          video_multi: float = 3.0, start_sample: int = 0,
                          max_sample: Optional[int] = None,

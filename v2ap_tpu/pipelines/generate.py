@@ -201,6 +201,18 @@ class V2APipeline:
                 self._ship_yuv420 = False
         if self._ship_yuv420:     # caches written under one pixel path must
             self._tower_tag += "+yuv420"   # not serve the other
+        # Conditioning frame-subsample (cold-serving lever): encode every Nth
+        # decoded frame through the vision tower and linearly interpolate
+        # features between the encoded anchors. The tower pass dominates cold
+        # end-to-end serving, so stride N cuts its device time ~N-fold.
+        # Stride 1 = reference parity (every frame, nearest-frame interp,
+        # e2_tts_crossatt3.py:1800-1813). Feature drift of the interpolated
+        # conditioning is bounded by scripts/probe_subsample_drift.py.
+        env = os.environ.get("V2AP_FRAME_STRIDE")
+        self._frame_stride = max(1, int(env) if env
+                                 else self.cfg.conditioning.frame_stride)
+        if self._frame_stride > 1:         # stride changes the cached features
+            self._tower_tag += f"+s{self._frame_stride}"
         self._decode = nnx.jit(lambda m, lat: m.decode(lat))
         self._encode_audio = nnx.jit(lambda m, wav: m.encode(wav))
         self._sample = nnx.jit(
@@ -316,8 +328,10 @@ class V2APipeline:
         # async, so uploads and tower compute overlap instead of serialising
         # on one host round-trip per chunk
         pending = []
+        stride = self._frame_stride
         stream = (_os.environ.get("V2AP_STREAM_DECODE", "0") == "1"
-                  and not frames_cache and len(self.towers) == 1)
+                  and not frames_cache and len(self.towers) == 1
+                  and stride == 1)   # chunked decode can't keep stride phase
         if stream:
             # chunk-pipelined: decode + preprocess chunk k on the host while
             # the device runs the tower on chunk k-1 (opt-in; on 1-core
@@ -340,6 +354,8 @@ class V2APipeline:
             if frames is None:
                 return None, None
             _t = _time.perf_counter()
+            if stride > 1:
+                frames = frames[::stride]
             px = tower.preprocess(frames)             # uint8 geometry only
             self._stage_timings["preprocess_s"] = (
                 self._stage_timings.get("preprocess_s", 0.0)
@@ -388,11 +404,22 @@ class V2APipeline:
         # table, gather on device when the embeddings stayed there (cold
         # serving keeps the whole conditioning path on-chip — no ~12 MB
         # feature round trip over the host link)
-        idx = video_io.interp_indices_clip(
-            t, duration, length,
-            sample_rate=self.cfg.conditioning.sampling_rate,
-            frame_size=self.cfg.conditioning.frame_size)
-        interp = feats[idx]
+        if self._frame_stride > 1:
+            # subsampled anchors: linear blend between the two nearest encoded
+            # frames recovers most of the skipped frames' information (probe:
+            # scripts/probe_subsample_drift.py; nearest would alias)
+            i0, i1, w = video_io.interp_weights_clip(
+                t, duration, length,
+                sample_rate=self.cfg.conditioning.sampling_rate,
+                frame_size=self.cfg.conditioning.frame_size)
+            wcol = xp.asarray(w)[:, None]
+            interp = feats[i0] * (1.0 - wcol) + feats[i1] * wcol
+        else:
+            idx = video_io.interp_indices_clip(
+                t, duration, length,
+                sample_rate=self.cfg.conditioning.sampling_rate,
+                frame_size=self.cfg.conditioning.frame_size)
+            interp = feats[idx]
         if len(interp) < length:
             interp = xp.concatenate(
                 [interp, xp.zeros((length - len(interp), interp.shape[-1]),
@@ -448,12 +475,19 @@ class V2APipeline:
         max_duration_s: float = 30.0,
         passes: int = 1,
         restart_t: float = 0.6,
+        fewstep: Optional[int] = None,
     ) -> Tuple[np.ndarray, int]:
         """Silent video (+ optional prompt) -> generated waveform @ 24 kHz.
 
         Serving-parity semantics: empty prompt becomes the video-drop filler
         "the sound of X X" with zeroed T5 context (e2_tts_crossatt3.py:
-        2053-2062); piano mode feeds keyboard strips through Video2Roll."""
+        2053-2062); piano mode feeds keyboard strips through Video2Roll.
+
+        ``fewstep=N`` selects the reflow-distilled few-step serving mode:
+        N uniform Euler steps with NO CFG (guidance is baked into the
+        distilled weights; training/distill.py). Load the student checkpoint
+        via ``load_weights`` first — with teacher weights this mode trades
+        quality for ~25*2/N fewer transformer evals."""
         import time as _time
         jnp = self._jnp
         cond = self.cfg.conditioning
@@ -583,8 +617,15 @@ class V2APipeline:
         mask = jnp.arange(n)[None, :] < n_valid
         x0 = self._jax.random.normal(
             self._jax.random.key(seed), (b, n, self.cfg.model.num_channels))
-        sampler = SamplerConfig(steps=steps, cfg_strength=cfg_strength,
-                                sway_sampling=True)
+        if fewstep:
+            # distilled-student sampler: few uniform steps, single forward per
+            # step (cfg_strength=0 skips the batch-doubled CFG branch — the
+            # straightened reflow field wants neither, training/distill.py)
+            sampler = SamplerConfig(steps=fewstep, cfg_strength=0.0,
+                                    sway_sampling=False)
+        else:
+            sampler = SamplerConfig(steps=steps, cfg_strength=cfg_strength,
+                                    sway_sampling=True)
         if passes > 1:
             latents = self._sample_multipass(
                 self.cfm, x0, text, frames_roll, ctx, ctx_mask, mask, sampler,
@@ -610,6 +651,7 @@ class V2APipeline:
         cfg_strength: float = 2.0,
         piano: bool = False,
         seed: int = 0,
+        fewstep: Optional[int] = None,
     ) -> Tuple[np.ndarray, int]:
         """Throughput mode: many clips ride the batch axis through ONE
         sampler call (shards over `data` on a pod mesh). All clips share one
@@ -658,7 +700,9 @@ class V2APipeline:
         mask = jnp.broadcast_to(jnp.arange(n)[None, :] < n_valid, (b, n))
         x0 = self._jax.random.normal(
             self._jax.random.key(seed), (b, n, self.cfg.model.num_channels))
-        sampler = SamplerConfig(steps=steps, cfg_strength=cfg_strength)
+        sampler = (SamplerConfig(steps=fewstep, cfg_strength=0.0,
+                                 sway_sampling=False) if fewstep else
+                   SamplerConfig(steps=steps, cfg_strength=cfg_strength))
         latents = self._sample(self.cfm, x0, jnp.asarray(text),
                                jnp.asarray(frames_roll), ctx, ctx_mask,
                                mask, sampler)
