@@ -139,7 +139,17 @@ class V2APipeline:
         # and the parity tests never quantize; end-audio impact should be
         # re-validated once real checkpoints are converted (PARITY.md).
         if quantize_towers is None:
-            quantize_towers = os.environ.get("V2AP_INT8_TOWERS", "1") != "0"
+            env = os.environ.get("V2AP_INT8_TOWERS")
+            if env is not None:
+                quantize_towers = env != "0"
+            else:
+                # pre-registered end-audio quality gate: once real weights
+                # exist, scripts/int8_tower_gate.py A/Bs int8 vs bf16 towers
+                # through FAD and persists the verdict — a failing bound
+                # flips this default automatically (evaluation/int8_gate.py)
+                from v2ap_tpu.evaluation.int8_gate import read_gate_default
+                gate = read_gate_default()
+                quantize_towers = True if gate is None else gate
         if quantize_towers:
             try:
                 from v2ap_tpu.utils.quantize import quantize_linears_int8
