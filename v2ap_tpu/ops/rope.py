@@ -35,13 +35,26 @@ def apply_rope(t: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     If t's head dim is wider than the rope table, the tail is left unrotated
     (partial-rotary); if the table is longer than the sequence, the *last*
     seq_len rows are used (x_transformers convention).
+
+    Implementation note: the table duplicates freqs across both halves, so
+    rather than the literal ``t*cos + rotate_half(t)*sin`` (split + negate +
+    two concats — the train-step op profile attributed ~21 ms/step to these
+    rotary slice/negate/copy fusions, NOTES.md), the two halves are rotated
+    directly and concatenated once:
+        o1 = x1*cos - x2*sin ;  o2 = x2*cos + x1*sin
+    which is the same complex rotation with half the layout copies.
     """
     rot_dim = freqs.shape[-1]
     seq_len = t.shape[-2]
-    freqs = freqs[-seq_len:, :]
-    t_rot, t_pass = t[..., :rot_dim], t[..., rot_dim:]
+    half = rot_dim // 2
+    freqs_h = freqs[-seq_len:, :half]        # both halves share these angles
+    t_pass = t[..., rot_dim:]
     dtype = t.dtype
-    t_rot = t_rot.astype(jnp.float32)
-    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
-    t_rot = t_rot * cos + _rotate_half(t_rot) * sin
-    return jnp.concatenate([t_rot.astype(dtype), t_pass], axis=-1)
+    x1 = t[..., :half].astype(jnp.float32)
+    x2 = t[..., half:rot_dim].astype(jnp.float32)
+    cos, sin = jnp.cos(freqs_h), jnp.sin(freqs_h)
+    o1 = (x1 * cos - x2 * sin).astype(dtype)
+    o2 = (x2 * cos + x1 * sin).astype(dtype)
+    if t_pass.shape[-1] == 0:
+        return jnp.concatenate([o1, o2], axis=-1)
+    return jnp.concatenate([o1, o2, t_pass], axis=-1)
