@@ -308,6 +308,14 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
         pipe.cfg = pipe.cfg.replace(conditioning=dataclasses.replace(
             pipe.cfg.conditioning, feature_cache=on))
 
+    default_stride = pipe._frame_stride
+    result["frame_stride"] = default_stride
+
+    def set_stride(s: int) -> None:
+        # cache tags are irrelevant here: stride only differs on COLD
+        # variants (feature_cache off)
+        pipe._frame_stride = s
+
     def run(piano: bool, seed: int):
         t0 = time.perf_counter()
         wav, sr = pipe.generate(video, prompt="", steps=25, piano=piano,
@@ -333,7 +341,9 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
     if bench_bf16:
         feats_int8, _ = pipe.encode_video_frames_clip(video, 256)
         set_int8(False)
-        run(False, 0)                           # compile bf16 tower variant
+        set_stride(1)
+        run(False, 0)                 # warm the FULL parity variant
+        set_stride(default_stride)    # drift key isolates int8 (same stride)
         feats_bf16, _ = pipe.encode_video_frames_clip(video, 256)
         feats_int8, feats_bf16 = np.asarray(feats_int8), np.asarray(feats_bf16)
         fdenom = float(np.sqrt(np.mean(feats_bf16 ** 2))) or 1.0
@@ -353,24 +363,28 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
     # turn the cached runs into cold ones).
     reps = int(os.environ.get("V2AP_BENCH_REPS", "4"))
     samples: dict = {}
-    plan = [("e2e_cold_x_realtime", False, True, False),
-            ("v2p_e2e_x_realtime", True, True, False)]
+    plan = [("e2e_cold_x_realtime", False, True, False, None),
+            ("v2p_e2e_x_realtime", True, True, False, None)]
     if bench_bf16:
-        plan.append(("e2e_bf16_towers_x_realtime", False, False, False))
-    plan += [("e2e_cached_x_realtime", False, True, True),
-             ("v2p_cached_x_realtime", True, True, True)]
+        # FULL reference-parity serving mode: bf16 towers AND every decoded
+        # frame through the tower (stride 1)
+        plan.append(("e2e_bf16_towers_x_realtime", False, False, False, 1))
+    plan += [("e2e_cached_x_realtime", False, True, True, None),
+             ("v2p_cached_x_realtime", True, True, True, None)]
     for rep in range(reps):
         # rotate the variant order each rep: the r3s4 run showed a strong
         # slot bias on this tunneled host (the first slot of a rep measured
         # ~2x slower walls; an interleaved A/B probe found int8 == bf16), so
         # no variant may own a fixed position
-        for key, piano, int8, cached in plan[rep % len(plan):] \
+        for key, piano, int8, cached, stride in plan[rep % len(plan):] \
                 + plan[: rep % len(plan)]:
             set_cache(cached)
             set_int8(int8)
+            set_stride(stride or default_stride)
             _, audio_s, wall = run(piano, rep + 1)
             samples.setdefault(key, []).append(audio_s / wall)
         set_int8(True)
+        set_stride(default_stride)
     for key, vals in samples.items():
         record(result, key, vals)
     # Per-stage split from ONE dedicated cold run with V2AP_STAGE_SYNC=1:

@@ -119,10 +119,13 @@ class ConditioningConfig:
     # through the vision tower and linearly interpolate features between the
     # encoded anchors (stride 1 = reference parity, every frame + nearest
     # interp, e2_tts_crossatt3.py:1800-1813). The tower pass dominates cold
-    # serving, so stride N cuts its device time ~N-fold; feature drift is
-    # bounded by scripts/probe_subsample_drift.py. Env V2AP_FRAME_STRIDE
-    # overrides at pipeline construction.
-    frame_stride: int = 1
+    # serving, so stride N cuts its device time ~N-fold. Default 3: measured
+    # conditioning drift on the real ViT-bigG is 0.93% rel-rms on smooth
+    # video-like content (scripts/probe_subsample_drift.py, TPU r4) — BELOW
+    # the 1.39% the accepted bf16 compute dtype already incurs (stride 2:
+    # 0.66%, stride 4: 1.08%). Env V2AP_FRAME_STRIDE overrides at pipeline
+    # construction; 1 restores reference parity.
+    frame_stride: int = 3
     # piano branch
     piano_frame_h: int = 100
     piano_frame_w: int = 900
@@ -307,4 +310,6 @@ def tiny_test() -> V2APConfig:
             dtype="float32",
         ),
         sampler=dataclasses.replace(cfg.sampler, steps=4),
+        # parity numerics for tests: every decoded frame feeds the tower
+        conditioning=dataclasses.replace(cfg.conditioning, frame_stride=1),
     )
