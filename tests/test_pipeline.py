@@ -431,3 +431,20 @@ def test_interp_weights_clip_matches_nearest_at_half():
     # blended result with round(w) recovers the nearest gather
     near = np.where(w > 0.5, i1, i0)
     np.testing.assert_array_equal(near, idx)
+
+
+def test_read_video_frames_strided_matches_full(tmp_path):
+    """step=N decode == full decode subsampled, with the FULL duration."""
+    from v2ap_tpu.data.video_io import read_video_frames
+    video = str(tmp_path / "sd.mp4")
+    if not write_synthetic_video(video, frames=17, fps=4):
+        pytest.skip("cv2 video writer unavailable")
+    full, dur_full = read_video_frames(video)
+    for step in (2, 3, 5):
+        sub, dur_sub = read_video_frames(video, step=step)
+        assert dur_sub == pytest.approx(dur_full, abs=1e-6)
+        assert len(sub) == len(full[::step])
+        np.testing.assert_array_equal(sub, full[::step])
+    # max_frames still applies after striding
+    few, _ = read_video_frames(video, max_frames=3, step=2)
+    assert len(few) == 3

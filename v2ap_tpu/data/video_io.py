@@ -82,9 +82,16 @@ class VideoChunkReader:
                          else self.frames_read / 25.0)
 
 
-def read_video_frames(path: str, max_frames: Optional[int] = None
+def read_video_frames(path: str, max_frames: Optional[int] = None,
+                      step: int = 1
                       ) -> Tuple[Optional[np.ndarray], Optional[float]]:
     """Decode all frames -> (uint8 (t, H, W, 3) RGB, duration_seconds).
+
+    ``step`` > 1 keeps every Nth frame: skipped frames go through
+    ``cap.grab()`` only (the codec must still decode inter-frame deps, but
+    the YUV->RGB convert + copy — most of the wall on a 1-core host — is
+    skipped; measured 7x faster at step 3 on the bench clip). The returned
+    ``duration`` always covers the FULL video.
 
     Returns (None, None) on decode failure (bad samples are blacklisted
     upstream, mirroring the reference's resilience strategy, SURVEY §5.3).
@@ -95,6 +102,39 @@ def read_video_frames(path: str, max_frames: Optional[int] = None
         if not cap.isOpened():
             return None, None
         fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+        if step > 1:
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT) or 0)
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH) or 0)
+            n_est = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+            if h <= 0 or w <= 0:
+                cap.release()
+                cap = cv2.VideoCapture(path)      # fall back to full decode
+            else:
+                arr = np.empty((max((n_est + step - 1) // step, 8),
+                                h, w, 3), np.uint8)
+                k = i = 0
+                while True:
+                    if i % step == 0:
+                        ok, frame = cap.read()
+                        if not ok or frame.shape[:2] != (h, w):
+                            break
+                        if k == len(arr):         # metadata undercounted
+                            arr = np.concatenate([arr, np.empty_like(arr)])
+                        cv2.cvtColor(frame, cv2.COLOR_BGR2RGB, dst=arr[k])
+                        k += 1
+                    else:
+                        if not cap.grab():
+                            break
+                    i += 1
+                cap.release()
+                if k == 0:
+                    return None, None
+                arr = arr[:k]
+                duration = i / fps if fps > 0 else i / 25.0
+                if max_frames is not None and len(arr) > max_frames:
+                    idx = np.linspace(0, len(arr) - 1, max_frames).astype(int)
+                    arr = arr[idx]
+                return arr, float(duration)
         # fast path: decode into one preallocated array (cvtColor writes in
         # place). The append-then-np.stack variant costs 2-4x more wall on a
         # single-core host: per-frame allocations plus a full-size copy.

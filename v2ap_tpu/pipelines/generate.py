@@ -355,16 +355,24 @@ class V2APipeline:
         else:
             import time as _time
             if not frames_cache:
+                # towers only need every stride-th frame: decode with
+                # grab()-skip (video_io.read_video_frames step) — measured 7x
+                # faster at stride 3 on the bench clip. The cache entry
+                # records its step so a full-rate consumer (piano strips)
+                # never silently reads subsampled frames.
                 _t = _time.perf_counter()
-                frames_cache.append(video_io.read_video_frames(video_path))
+                frames_, dur_ = video_io.read_video_frames(video_path,
+                                                           step=stride)
+                frames_cache.append((frames_, dur_, stride))
                 self._stage_timings["decode_s"] = (
                     self._stage_timings.get("decode_s", 0.0)
                     + _time.perf_counter() - _t)
-            frames, duration = frames_cache[0]
+            frames, duration, cached_step = frames_cache[0]
             if frames is None:
                 return None, None
+            assert cached_step in (1, stride), (cached_step, stride)
             _t = _time.perf_counter()
-            if stride > 1:
+            if stride > 1 and cached_step == 1:
                 frames = frames[::stride]
             px = tower.preprocess(frames)             # uint8 geometry only
             self._stage_timings["preprocess_s"] = (
@@ -447,12 +455,15 @@ class V2APipeline:
         strips, duration = (video_io.load_feature_cache(cache)
                             if self.cfg.conditioning.feature_cache else (None, None))
         if strips is None:
+            frames = None
             if frames_cache:
-                frames, duration = frames_cache[0]
-            else:
+                frames, duration, cached_step = frames_cache[0]
+                if cached_step != 1:     # tower decoded strided: strips need
+                    frames = None        # the full frame rate — decode fresh
+            if frames is None:
                 frames, duration = video_io.read_video_frames(video_path)
-                if frames_cache is not None:
-                    frames_cache.append((frames, duration))
+                if frames_cache is not None and not frames_cache:
+                    frames_cache.append((frames, duration, 1))
             if frames is None:
                 return None
             strips = video_io.piano_preprocess(
@@ -541,7 +552,7 @@ class V2APipeline:
             has_strip_cache = (self.cfg.conditioning.feature_cache
                                and video_io.load_feature_cache(cache)[0] is not None)
             if roll_np is None and not has_strip_cache:
-                decoded.append(video_io.read_video_frames(video_path))
+                decoded.append((*video_io.read_video_frames(video_path), 1))
                 if decoded[0][0] is not None:
                     dur0 = min(decoded[0][1] or 10.0, max_duration_s)
                     duration_s, n_valid, n = plan_length(dur0)
@@ -684,6 +695,11 @@ class V2APipeline:
             if vp is None:
                 continue
             decoded = []
+            if piano:
+                # piano strips need the full frame rate; decoding first makes
+                # the towers reuse it instead of a second (strided) decode
+                from v2ap_tpu.data import video_io
+                decoded.append((*video_io.read_video_frames(vp), 1))
             feats, _ = self.encode_video_frames_clip(vp, n_valid,
                                                      frames_cache=decoded)
             if feats is not None:
