@@ -488,9 +488,19 @@ def bench_training(result: dict) -> None:
 
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "bench_train.py")
+    # best measured single-chip throughput config (r4 sweep): batch 24 +
+    # FULL remat (smaller activations let the batch grow past what the
+    # "dots" policy fits) + bf16 AdamW first moment — 1620 ms/step,
+    # 145x realtime training audio, 28.4% MFU vs 601 ms / 131x / 25.5% at
+    # the old batch-8 "dots" setting. Env overrides keep A/Bs possible.
+    args = os.environ.get("V2AP_BENCH_TRAIN_ARGS", "6 24").split()
+    env = dict(os.environ)
+    env.setdefault("V2AP_MU_BF16", "1")
+    env.setdefault("V2AP_REMAT_POLICY", "full")
     try:
         out = subprocess.run(
-            [sys.executable, script, "6", "8"], capture_output=True,
+            [sys.executable, script, *args], capture_output=True,
+            env=env,
             text=True, timeout=int(os.environ.get("V2AP_BENCH_TRAIN_TIMEOUT",
                                                   "1500")))
         last = out.stdout.strip().splitlines()[-1]
