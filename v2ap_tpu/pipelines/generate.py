@@ -311,6 +311,7 @@ class V2APipeline:
                 return feats, duration
         mean = self._jnp.asarray(tower.mean, self._jnp.float32)
         std = self._jnp.asarray(tower.std, self._jnp.float32)
+        dp = 1
         if self._mesh is not None:                    # frame batch shards
             dp = self._mesh.shape[self._mesh.axis_names[0]]
             chunk = ((chunk + dp - 1) // dp) * dp
@@ -318,21 +319,34 @@ class V2APipeline:
         ship_yuv = (self._ship_yuv420
                     and self._frame_sharding is None)   # pod path ships RGB
 
-        def dispatch(part):
-            pad = chunk - len(part)
-            if pad:
+        def tail_bucket(n: int) -> int:
+            """Smallest of {chunk/4, chunk/2, chunk} that fits the tail —
+            a fixed chunk pads the last dispatch up to a full chunk, wasting
+            up to chunk-1 frames of tower compute (38% of the whole pass on
+            the 79-frame stride-3 bench clip). Three bucket sizes bound the
+            waste at chunk/4-1 while compiling each tower program once."""
+            for b in (max(chunk // 4, 1), max(chunk // 2, 1), chunk):
+                b = ((b + dp - 1) // dp) * dp
+                if n <= b:
+                    return b
+            return chunk
+
+        def dispatch(part, target):
+            real = len(part)
+            if real < target:
                 part = np.concatenate(
-                    [part, np.zeros((pad,) + part.shape[1:], part.dtype)])
+                    [part,
+                     np.zeros((target - real,) + part.shape[1:], part.dtype)])
             if ship_yuv:
                 from v2ap_tpu.models.clip_vit import pack_yuv420
                 y, uv = pack_yuv420(part)
-                return pad, self._tower_fwd_yuv(
+                return real, self._tower_fwd_yuv(
                     tower.model, self._jnp.asarray(y), self._jnp.asarray(uv),
                     mean, std)
             dev = (self._jax.device_put(part, self._frame_sharding)
                    if self._frame_sharding is not None
                    else self._jnp.asarray(part))
-            return pad, self._tower_fwd(tower.model, dev, mean, std)
+            return real, self._tower_fwd(tower.model, dev, mean, std)
 
         # dispatch every chunk before collecting any result: jax dispatch is
         # async, so uploads and tower compute overlap instead of serialising
@@ -348,7 +362,8 @@ class V2APipeline:
             # tunneled hosts the RPC threads contend with the decoder)
             reader = video_io.VideoChunkReader(video_path, chunk)
             for frames_chunk in reader:
-                pending.append(dispatch(tower.preprocess(frames_chunk)))
+                pending.append(dispatch(tower.preprocess(frames_chunk),
+                                        tail_bucket(len(frames_chunk))))
             duration = reader.duration
             if reader.failed or not pending:   # same outcome as the default
                 return None, None              # path's decode failure
@@ -379,10 +394,11 @@ class V2APipeline:
                 self._stage_timings.get("preprocess_s", 0.0)
                 + _time.perf_counter() - _t)
             for i in range(0, len(px), chunk):
-                pending.append(dispatch(px[i: i + chunk]))
-        last_pad = pending[-1][0]
-        n_frames = len(pending) * chunk - last_pad
-        # one device-side concat instead of one host transfer per chunk
+                part = px[i: i + chunk]
+                pending.append(dispatch(part, tail_bucket(len(part))))
+        # padding only ever sits at the end of the LAST part, so the global
+        # slice after one device-side concat drops exactly the pad rows
+        n_frames = sum(real for real, _ in pending)
         feats = self._jnp.concatenate([out for _, out in pending])[:n_frames]
         if self.cfg.conditioning.feature_cache:
             feats = np.asarray(feats)       # cache format unchanged (npz)
