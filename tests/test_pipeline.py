@@ -448,3 +448,28 @@ def test_read_video_frames_strided_matches_full(tmp_path):
     # max_frames still applies after striding
     few, _ = read_video_frames(video, max_frames=3, step=2)
     assert len(few) == 3
+
+
+def test_tower_chunk_bucketing_matches_single_dispatch(pipeline, tmp_path,
+                                                       monkeypatch):
+    """Features must be independent of the chunk plan: a small chunk (full
+    chunks + a bucketed tail) equals one whole-video dispatch — the ViT is
+    per-frame, so any batching must be invisible."""
+    video = str(tmp_path / "chunks.mp4")
+    if not write_synthetic_video(video, frames=11, fps=4):
+        pytest.skip("cv2 video writer unavailable")
+    import dataclasses
+    pipeline_cfg = pipeline.cfg
+    old = pipeline_cfg.conditioning.feature_cache
+    pipeline.cfg = pipeline_cfg.replace(conditioning=dataclasses.replace(
+        pipeline_cfg.conditioning, feature_cache=False))
+    try:
+        f_whole, d1 = pipeline.encode_video_frames_clip(video, 64, chunk=16)
+        # chunk 4: 2 full chunks of 4 + tail 3 -> bucket 1..4
+        f_bucketed, d2 = pipeline.encode_video_frames_clip(video, 64, chunk=4)
+    finally:
+        pipeline.cfg = pipeline_cfg.replace(conditioning=dataclasses.replace(
+            pipeline_cfg.conditioning, feature_cache=old))
+    assert d1 == d2
+    np.testing.assert_allclose(np.asarray(f_whole), np.asarray(f_bucketed),
+                               rtol=1e-5, atol=1e-5)
