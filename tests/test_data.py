@@ -232,3 +232,27 @@ def test_batcher_video_rows_use_sibling_wav(tmp_path):
     batch = batcher.next_batch()
     vi = batch.video_paths.index(video)
     assert np.abs(batch.waveforms[vi]).sum() > 0
+
+def test_fused_decode_matches_two_pass(tmp_path):
+    """read_video_frames_and_strips must be bit-identical to the two-pass
+    path (full decode -> piano_preprocess; strided decode for RGB) — the
+    fused path feeds BOTH the piano strips and the vision tower."""
+    from tests.test_pipeline import write_synthetic_video
+    from v2ap_tpu.data.video_io import (read_video_frames,
+                                        read_video_frames_and_strips)
+
+    video = str(tmp_path / "fused.mp4")
+    if not write_synthetic_video(video, frames=11, fps=4):
+        pytest.skip("no video writer available")
+    for step in (1, 3):
+        rgb, strips, dur = read_video_frames_and_strips(
+            video, step=step, width=90, height=10)
+        full, dur_ref = read_video_frames(video)
+        strided, _ = read_video_frames(video, step=step)
+        np.testing.assert_array_equal(rgb, strided)
+        np.testing.assert_array_equal(
+            strips, piano_preprocess(full, width=90, height=10))
+        assert dur == dur_ref
+        assert strips.dtype == np.uint8 and len(strips) == len(full)
+
+    assert read_video_frames_and_strips(str(tmp_path / "no.mp4"))[0] is None

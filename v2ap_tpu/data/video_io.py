@@ -176,6 +176,68 @@ def read_video_frames(path: str, max_frames: Optional[int] = None,
         return None, None
 
 
+def read_video_frames_and_strips(
+    path: str, step: int = 1, width: int = 900, height: int = 100
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray], Optional[float]]:
+    """One decode pass -> (RGB frames at every ``step``-th frame, grayscale
+    ``height x width`` keyboard strips for EVERY frame, duration).
+
+    The piano branch needs full-rate strips while the vision tower only needs
+    every ``step``-th RGB frame; decoding twice (or materialising full-rate
+    RGB — 162 MB for the 10 s bench clip — just to gray it down again) wastes
+    most of the single-core host budget. Numerics are bit-identical to
+    ``piano_preprocess(read_video_frames(path)[0])`` +
+    ``read_video_frames(path, step=step)``: cv2's BGR2GRAY reads the same
+    physical channels as RGB2GRAY-after-BGR2RGB, and the strip resize sees
+    the same gray plane (regression-tested in tests/test_data.py).
+
+    Returns (None, None, None) on decode failure.
+    """
+    try:
+        import cv2
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            return None, None, None
+        fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT) or 0)
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH) or 0)
+        n_est = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+        if h <= 0 or w <= 0:                 # no geometry metadata: decode
+            cap.release()                    # everything, strip separately
+            frames, duration = read_video_frames(path)
+            if frames is None:
+                return None, None, None
+            strips = piano_preprocess(frames, width, height)
+            return frames[::step], strips, duration
+        cap_frames = max((n_est + step - 1) // step, 8)
+        rgb = np.empty((cap_frames, h, w, 3), np.uint8)
+        strips = np.empty((max(n_est, 8), height, width), np.uint8)
+        gray = np.empty((h, w), np.uint8)    # reused per-frame scratch
+        k_rgb = i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok or frame.shape[:2] != (h, w):
+                break
+            if i == len(strips):             # metadata undercounted
+                strips = np.concatenate([strips, np.empty_like(strips)])
+            cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY, dst=gray)
+            cv2.resize(gray, (width, height),
+                       interpolation=cv2.INTER_LINEAR, dst=strips[i])
+            if i % step == 0:
+                if k_rgb == len(rgb):
+                    rgb = np.concatenate([rgb, np.empty_like(rgb)])
+                cv2.cvtColor(frame, cv2.COLOR_BGR2RGB, dst=rgb[k_rgb])
+                k_rgb += 1
+            i += 1
+        cap.release()
+        if i == 0:
+            return None, None, None
+        duration = i / fps if fps > 0 else i / 25.0
+        return rgb[:k_rgb], strips[:i], float(duration)
+    except Exception:
+        return None, None, None
+
+
 def probe_duration(path: str) -> Optional[float]:
     """Container-metadata duration (no frame decode); None when unknown."""
     try:

@@ -297,8 +297,12 @@ def _flash_bwd_impl(q, k, v, mask_arr, out, lse, g, softclamp, scale,
     # scoped-VMEM limit (24 MB). 384 divides the 768-frame serving/training
     # bucket exactly (512 would degrade to 256 via _pick_block) and keeps
     # the stack ~3 MB.
-    bq = _pick_block(nq, min(block_q, 384))
-    bk = _pick_block(nk, min(block_k, 384))
+    # V2AP_FLASH_BWD_BQ/BK: retune knobs (scripts/probe_train_step.py sweeps
+    # them; 384/384 won the r2 sweep at b4, re-checked at b24 in r4)
+    bq = _pick_block(nq, min(block_q,
+                             int(os.environ.get("V2AP_FLASH_BWD_BQ", 384))))
+    bk = _pick_block(nk, min(block_k,
+                             int(os.environ.get("V2AP_FLASH_BWD_BK", 384))))
     dcap = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                    axis=-1)                              # (b, h, nq)
     dcap2 = dcap.reshape(b * h, nq)

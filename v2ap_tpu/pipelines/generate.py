@@ -461,15 +461,21 @@ class V2APipeline:
         return interp.astype(xp.float32), duration
 
     def encode_piano_frames(self, video_path: str, length: int,
-                            frames_cache=None):
+                            frames_cache=None, strips_cache=None):
         """Grayscale keyboard strips resampled to the roll rate, cached
         (e2_tts_crossatt3.py:1888-1943). ``frames_cache`` shares one video
-        decode with the CLIP tower pass."""
+        decode with the CLIP tower pass; ``strips_cache`` accepts source-rate
+        strips already produced by the fused decode
+        (video_io.read_video_frames_and_strips)."""
         from v2ap_tpu.data import video_io
 
         cache = video_io.piano_frames_cache_path(video_path)
         strips, duration = (video_io.load_feature_cache(cache)
                             if self.cfg.conditioning.feature_cache else (None, None))
+        if strips is None and strips_cache:
+            strips, duration = strips_cache[0]
+            if strips is not None and self.cfg.conditioning.feature_cache:
+                video_io.save_feature_cache(cache, strips, duration)
         if strips is None:
             frames = None
             if frames_cache:
@@ -547,6 +553,7 @@ class V2APipeline:
         decoded = []                      # one decode shared across encoders
         strips_dev = None
         roll_np = None
+        roll_cache_write = None           # (path, duration): write after wav
         if piano and video_path is not None and duration_s is None:
             # piano path: decode first and dispatch the keyboard-strip upload
             # *before* the CLIP pass, so the ~20 MB uint8 transfer rides the
@@ -568,12 +575,22 @@ class V2APipeline:
             has_strip_cache = (self.cfg.conditioning.feature_cache
                                and video_io.load_feature_cache(cache)[0] is not None)
             if roll_np is None and not has_strip_cache:
-                decoded.append((*video_io.read_video_frames(video_path), 1))
-                if decoded[0][0] is not None:
-                    dur0 = min(decoded[0][1] or 10.0, max_duration_s)
+                # fused decode: full-rate grayscale strips + RGB at the tower
+                # stride in ONE pass over the codec output (the old shape —
+                # full-rate decode, then a second gray+resize pass over a
+                # 162 MB RGB array — dominated cold V2P host time)
+                _t = _time.perf_counter()
+                rgb, strips_src, dur = video_io.read_video_frames_and_strips(
+                    video_path, step=self._frame_stride,
+                    width=cond.piano_frame_w, height=cond.piano_frame_h)
+                self._stage_timings["decode_s"] = _time.perf_counter() - _t
+                if rgb is not None:
+                    decoded.append((rgb, dur, self._frame_stride))
+                    dur0 = min(dur or 10.0, max_duration_s)
                     duration_s, n_valid, n = plan_length(dur0)
-                    strips = self.encode_piano_frames(video_path, n,
-                                                      frames_cache=decoded)
+                    strips = self.encode_piano_frames(
+                        video_path, n, frames_cache=decoded,
+                        strips_cache=[(strips_src, dur)])
                     if strips is not None:
                         # async host->device transfer starts here and overlaps
                         # the CLIP preprocessing + tower pass below
@@ -639,11 +656,10 @@ class V2APipeline:
                 if strips_dev is not None:
                     frames_roll = self._encode_frames(self.cfm, strips_dev, n)
                     if self.cfg.conditioning.feature_cache:
-                        from v2ap_tpu.data import video_io
-                        video_io.save_feature_cache(
-                            video_io.piano_roll_cache_path(video_path),
-                            np.asarray(frames_roll[0]), duration_s,
-                            tag=self._roll_tag)
+                        # deferred until after the wav fetch: np.asarray here
+                        # would block the host on the whole tower+Video2Roll
+                        # drain BEFORE the sampler is even dispatched
+                        roll_cache_write = (video_path, duration_s)
                 else:
                     frames_roll = jnp.zeros((b, n, self.cfg.model.notes))
         else:
@@ -672,6 +688,13 @@ class V2APipeline:
                                    ctx_mask, mask, sampler)
         wav = np.asarray(self._decode(self.codec, latents[:, :n_valid]))
         timings["sample_decode_s"] = _time.perf_counter() - _t0
+        if roll_cache_write is not None:
+            # device fully drained by the wav fetch: this fetch is free now
+            from v2ap_tpu.data import video_io
+            video_io.save_feature_cache(
+                video_io.piano_roll_cache_path(roll_cache_write[0]),
+                np.asarray(frames_roll[0]), roll_cache_write[1],
+                tag=self._roll_tag)
         # last-call stage report (read by serving/profiling; approximate for
         # async device work, exact at the blocking host-transfer boundaries)
         self.last_timings = timings
@@ -711,18 +734,26 @@ class V2APipeline:
             if vp is None:
                 continue
             decoded = []
+            strips_src = None
             if piano:
-                # piano strips need the full frame rate; decoding first makes
-                # the towers reuse it instead of a second (strided) decode
+                # fused decode: full-rate strips + tower-stride RGB in one
+                # codec pass (same as generate(); the towers reuse the RGB
+                # instead of a second decode)
                 from v2ap_tpu.data import video_io
-                decoded.append((*video_io.read_video_frames(vp), 1))
+                rgb, s_full, dur = video_io.read_video_frames_and_strips(
+                    vp, step=self._frame_stride,
+                    width=cond.piano_frame_w, height=cond.piano_frame_h)
+                if rgb is not None:
+                    decoded.append((rgb, dur, self._frame_stride))
+                    strips_src = [(s_full, dur)]
             feats, _ = self.encode_video_frames_clip(vp, n_valid,
                                                      frames_cache=decoded)
             if feats is not None:
                 text[i, : len(feats)] = feats[:n]
             if piano:
                 strips = self.encode_piano_frames(vp, n_valid,
-                                                  frames_cache=decoded)
+                                                  frames_cache=decoded,
+                                                  strips_cache=strips_src)
                 if strips is not None:
                     roll = np.asarray(self._encode_frames(
                         self.cfm, jnp.asarray(strips[None]), n))
