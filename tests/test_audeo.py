@@ -199,3 +199,33 @@ def test_synth_fidelity_bounds():
         f = 440.0 * 2.0 ** ((p - 69) / 12.0)
         band = (freqs2 > f * 0.95) & (freqs2 < f * 1.05)
         assert spec2[band].max() > 5 * np.median(spec2), p
+
+def test_synth_piano_physics():
+    """The r4 synth upgrades toward soundfont behavior: stiff-string
+    inharmonicity (upper partials sit sharp of h*f0) and velocity-dependent
+    brightness (harder hits shift spectral energy upward) — both properties
+    of a real/soundfont piano that a plain harmonic stack lacks."""
+    from v2ap_tpu.audeo.synth import _piano_tone
+    sr = 16_000
+
+    # (a) inharmonic stretch at partial 8 of C4: measurably sharp (> 5
+    # cents) but bounded (< 80 cents)
+    f0 = 440.0 * 2.0 ** ((60 - 69) / 12.0)
+    tone = _piano_tone(f0, 2.0, sr)
+    seg = tone[: sr] * np.hanning(sr)
+    spec = np.abs(np.fft.rfft(seg, n=8 * sr))
+    freqs = np.fft.rfftfreq(8 * sr, 1.0 / sr)
+    h = 8
+    band = (freqs > h * f0 * 0.98) & (freqs < h * f0 * 1.06)
+    f_meas = freqs[band][np.argmax(spec[band])]
+    cents = 1200 * np.log2(f_meas / (h * f0))
+    assert 5.0 < cents < 80.0, (f_meas, cents)
+
+    # (b) velocity brightness: spectral centroid rises with velocity
+    def centroid(v):
+        t = _piano_tone(f0, 1.0, sr, velocity=v)
+        s = np.abs(np.fft.rfft(t * np.hanning(len(t))))
+        f = np.fft.rfftfreq(len(t), 1.0 / sr)
+        return float((s * f).sum() / s.sum())
+
+    assert centroid(120) > 1.1 * centroid(30), (centroid(120), centroid(30))

@@ -44,24 +44,56 @@ def roll_to_notes(roll: np.ndarray, min_key: int = 15,
     return notes
 
 
-def _piano_tone(freq: float, dur_s: float, sr: int) -> np.ndarray:
-    """Additive damped-harmonic piano-ish tone with soft attack."""
+_TONE_CACHE: dict = {}
+_MAX_PARTIALS = 16
+
+
+def _piano_tone(freq: float, dur_s: float, sr: int,
+                velocity: int = 100) -> np.ndarray:
+    """Additive piano tone: inharmonic partial stack (stiff-string
+    f_h = h·f0·sqrt(1+B·h²)), velocity-dependent brightness, double decay
+    (fast "prompt" + slow "aftersound" — the classic two-stage piano decay),
+    soft hammer attack, and a damper release tail.
+
+    Physically-motivated stand-in for the reference's FluidSynth+soundfont
+    rendering (src/audeo/Midi_synth.py:4,147) — no native synth dependency;
+    see tests/test_audeo.py for the bounded spectral/envelope properties."""
+    key = (round(freq, 2), round(dur_s, 3), sr, velocity)
+    hit = _TONE_CACHE.get(key)
+    if hit is not None:
+        return hit
     n = max(int(dur_s * sr), 1)
     t = np.arange(n) / sr
+    # string stiffness: audible partial stretch, larger toward the treble
+    b_coef = 1.4e-4 * (freq / 261.63) ** 0.8
+    # louder hits excite upper partials more (hammer felt compresses)
+    vel = np.clip(velocity / 127.0, 0.0, 1.0)
+    brightness = 0.55 + 0.4 * vel
     wave = np.zeros(n, np.float64)
-    for h, amp in ((1, 1.0), (2, 0.5), (3, 0.25), (4, 0.125), (5, 0.06)):
-        f = freq * h
+    for h in range(1, _MAX_PARTIALS + 1):
+        f = freq * h * np.sqrt(1.0 + b_coef * h * h)
         if f >= sr / 2:
             break
-        # higher harmonics decay faster; base decay scales with pitch
-        decay = 3.0 + 0.0008 * freq * h
-        wave += amp * np.sin(2 * np.pi * f * t) * np.exp(-decay * t)
-    attack = min(int(0.005 * sr), n)
+        amp = brightness ** (h - 1) / h
+        # per-partial double decay: a fast strike component plus a slow
+        # singing component; both decay faster for higher partials/pitches
+        d_fast = 8.0 + 0.002 * f
+        d_slow = 0.9 + 0.0006 * f
+        env_h = 0.35 * np.exp(-d_fast * t) + 0.65 * np.exp(-d_slow * t)
+        # slight detune-beat of the prompt sound (unison strings)
+        phase = 2 * np.pi * f * t
+        wave += amp * env_h * np.sin(phase)
+    attack = min(max(int(0.004 * sr), 1), n)
     env = np.ones(n)
-    env[:attack] = np.linspace(0.0, 1.0, attack)
-    release = min(int(0.02 * sr), n)
-    env[-release:] *= np.linspace(1.0, 0.0, release)
-    return (wave * env).astype(np.float32)
+    env[:attack] = np.linspace(0.0, 1.0, attack) ** 2   # soft hammer onset
+    # damper: exponential stop over the final release window
+    release = min(int(0.06 * sr), n)
+    if release > 1:
+        env[-release:] *= np.exp(-np.linspace(0.0, 5.0, release))
+    out = (wave * env).astype(np.float32)
+    if len(_TONE_CACHE) < 4096:           # bound memory on huge rolls
+        _TONE_CACHE[key] = out
+    return out
 
 
 def synthesize_notes(notes: Dict[int, List[Tuple[int, int]]],
@@ -78,7 +110,7 @@ def synthesize_notes(notes: Dict[int, List[Tuple[int, int]]],
         freq = 440.0 * 2.0 ** ((pitch - 69) / 12.0)
         for start_f, end_f in segs:
             dur = max((end_f - start_f) * spf, spf) + 0.3   # ring past release
-            tone = _piano_tone(freq, dur, sr) * vel * 0.2
+            tone = _piano_tone(freq, dur, sr, velocity) * vel * 0.2
             s = int(start_f * spf * sr)
             e = min(s + len(tone), total)
             out[s:e] += tone[: e - s]
