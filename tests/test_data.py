@@ -256,3 +256,32 @@ def test_fused_decode_matches_two_pass(tmp_path):
         assert strips.dtype == np.uint8 and len(strips) == len(full)
 
     assert read_video_frames_and_strips(str(tmp_path / "no.mp4"))[0] is None
+
+def test_strip_half_pack_upsample():
+    """pack_strips_half is the exact uint8 pair mean; upsample_strips_2x is
+    the half-pixel-centre linear upsample; constants survive the round trip
+    exactly and shapes/dtypes hold."""
+    from v2ap_tpu.data.video_io import pack_strips_half
+    from v2ap_tpu.models.video2roll import upsample_strips_2x
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    strips = rng.integers(0, 256, (3, 4, 12), dtype=np.uint8)
+    half = pack_strips_half(strips)
+    assert half.shape == (3, 4, 6) and half.dtype == np.uint8
+    a = strips[..., 0::2].astype(int)
+    b = strips[..., 1::2].astype(int)
+    np.testing.assert_array_equal(half, (a + b + 1) // 2)
+
+    const = np.full((2, 3, 8), 77, np.uint8)
+    up = np.asarray(upsample_strips_2x(
+        jnp.asarray(pack_strips_half(const), jnp.float32)))
+    np.testing.assert_allclose(up, 77.0, rtol=0, atol=1e-5)
+
+    # linear ramp reconstructs to within the pack quantisation step
+    ramp = np.tile(np.arange(0, 200, 2, dtype=np.uint8), (1, 2, 1))
+    up = np.asarray(upsample_strips_2x(
+        jnp.asarray(pack_strips_half(ramp), jnp.float32)))
+    assert up.shape == ramp.shape
+    interior = np.abs(up[..., 2:-2] - ramp[..., 2:-2].astype(np.float32))
+    assert interior.max() <= 2.0, interior.max()

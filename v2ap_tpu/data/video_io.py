@@ -278,6 +278,20 @@ def piano_preprocess(frames: np.ndarray, width: int = 900, height: int = 100
     return out
 
 
+def pack_strips_half(strips: np.ndarray) -> np.ndarray:
+    """Halve keyboard strips along the key axis (last dim) by exact uint8
+    pair means (round-half-up) — the host side of the 2:1 strip-shipping
+    mode (V2AP_SHIP_STRIP_HALF). The device side linearly upsamples back
+    before Video2Roll (models/video2roll.upsample_strips_2x); roll-output
+    drift is bounded by scripts/probe_strip_half.py. Mirrors the YUV 4:2:0
+    frame-shipping lever: the tunnel wire, not compute, is the cold-serving
+    bottleneck this attacks (~21 MB of strips on the 10 s bench clip)."""
+    assert strips.shape[-1] % 2 == 0, strips.shape
+    a = strips[..., 0::2].astype(np.uint16)
+    b = strips[..., 1::2].astype(np.uint16)
+    return ((a + b + 1) >> 1).astype(np.uint8)
+
+
 def clip_feature_cache_path(video_path: str, encoder: str = "clip_vit") -> str:
     suffix = {"clip_vit": ".generated.npz",
               "clip_vit2": ".generated.clip_vit2.npz",

@@ -159,3 +159,17 @@ class Video2RollNet(nnx.Module):
         out = out2 + p4
         pooled = jnp.mean(out, axis=(1, 2))
         return self.fc(pooled).astype(jnp.float32)
+
+
+def upsample_strips_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Linear 2x upsample along the key axis (last dim) — the device half of
+    the 2:1 strip-shipping mode (data/video_io.pack_strips_half packs on
+    host). Standard half-pixel-centre mapping: output j reads source
+    position (j + 0.5)/2 - 0.5, edge-clamped. Gather indices are trace-time
+    constants, so this compiles to two gathers + one fma."""
+    w2 = x.shape[-1]
+    pos = jnp.clip((jnp.arange(2 * w2) + 0.5) / 2.0 - 0.5, 0.0, w2 - 1.0)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, w2 - 1)
+    w = (pos - i0).astype(x.dtype)
+    return x[..., i0] * (1.0 - w) + x[..., i1] * w

@@ -245,6 +245,25 @@ class V2APipeline:
                 frames.astype(jnp.float32) / 255.0
                 if jnp.issubdtype(frames.dtype, jnp.integer) else frames, n),
             static_argnames="n")
+        # 2:1 strip shipping (V2AP_SHIP_STRIP_HALF=1): keyboard strips pack
+        # to uint8 pair-means on host (~42 ms) and linearly upsample back
+        # inside the jitted Video2Roll call — halves the ~21 MB V2P strip
+        # upload. OPT-IN, measured a net loss on this tunneled host
+        # (interleaved medians 3.52 vs 3.81 rtf, scripts/probe_strip_half.py
+        # --timing): the strip upload is dispatched early and fully overlaps
+        # the tower pass here, so shrinking it buys nothing while the pack
+        # sits on the critical path. Kept for wire-bound hosts where the
+        # upload does NOT overlap. Roll drift: 0.09% rel-rms on smooth
+        # content, 3.2% on worst-case noise.
+        from v2ap_tpu.models.video2roll import upsample_strips_2x
+        self._encode_frames_half = nnx.jit(
+            lambda m, half, n: m.encode_frames(
+                upsample_strips_2x(half.astype(jnp.float32) / 255.0), n),
+            static_argnames="n")
+        self._ship_strip_half = os.environ.get(
+            "V2AP_SHIP_STRIP_HALF", "0") == "1"
+        if self._ship_strip_half:   # packed-path rolls must not share caches
+            self._roll_tag += "+shalf"
 
     # ------------------------------------------------------------------ io
     def load_weights(self, ckpt_dir: str) -> list:
@@ -504,6 +523,21 @@ class V2APipeline:
             frame_size=self.cfg.conditioning.frame_size)
         return strips[idx]                   # uint8; /255 happens on device
 
+    def _ship_strips(self, strips: np.ndarray):
+        """Dispatch the (async) host->device keyboard-strip upload, packed
+        2:1 when the strip-half shipping mode is on."""
+        if self._ship_strip_half:
+            from v2ap_tpu.data.video_io import pack_strips_half
+            strips = pack_strips_half(strips)
+        return self._jnp.asarray(strips[None])
+
+    def _roll_from_strips(self, strips_dev, n: int):
+        """Video2Roll probabilities from an uploaded strip batch (packed or
+        exact, matching _ship_strips)."""
+        fn = (self._encode_frames_half if self._ship_strip_half
+              else self._encode_frames)
+        return fn(self.cfm, strips_dev, n)
+
     # ---------------------------------------------------------------- generate
     def generate(
         self,
@@ -594,7 +628,7 @@ class V2APipeline:
                     if strips is not None:
                         # async host->device transfer starts here and overlaps
                         # the CLIP preprocessing + tower pass below
-                        strips_dev = jnp.asarray(strips[None])
+                        strips_dev = self._ship_strips(strips)
         if video_path is not None:
             probe_len = int(max_duration_s * sr / cond.frame_size)
             text_embed_np, video_duration = self.encode_video_frames_clip(
@@ -652,9 +686,9 @@ class V2APipeline:
                     strips = self.encode_piano_frames(video_path, n,
                                                       frames_cache=decoded)
                     if strips is not None:
-                        strips_dev = jnp.asarray(strips[None])
+                        strips_dev = self._ship_strips(strips)
                 if strips_dev is not None:
-                    frames_roll = self._encode_frames(self.cfm, strips_dev, n)
+                    frames_roll = self._roll_from_strips(strips_dev, n)
                     if self.cfg.conditioning.feature_cache:
                         # deferred until after the wav fetch: np.asarray here
                         # would block the host on the whole tower+Video2Roll
@@ -755,8 +789,8 @@ class V2APipeline:
                                                   frames_cache=decoded,
                                                   strips_cache=strips_src)
                 if strips is not None:
-                    roll = np.asarray(self._encode_frames(
-                        self.cfm, jnp.asarray(strips[None]), n))
+                    roll = np.asarray(self._roll_from_strips(
+                        self._ship_strips(strips), n))
                     frames_roll[i] = roll[0]
 
         if all(not p.strip() for p in prompts):
