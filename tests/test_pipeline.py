@@ -473,3 +473,35 @@ def test_tower_chunk_bucketing_matches_single_dispatch(pipeline, tmp_path,
     assert d1 == d2
     np.testing.assert_allclose(np.asarray(f_whole), np.asarray(f_bucketed),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_generate_batch_piano_fused(pipeline, tmp_path):
+    """Batch throughput mode with the piano branch rides the same fused
+    decode (strips + tower-stride RGB in one pass) as generate()."""
+    video = str(tmp_path / "bp.mp4")
+    if not write_synthetic_video(video, frames=8, fps=4):
+        pytest.skip("cv2 video writer unavailable")
+    wavs, sr = pipeline.generate_batch([video, None], ["", "rain"],
+                                       duration_s=1.0, steps=2, piano=True,
+                                       seed=5)
+    assert wavs.shape == (2, 24_000)
+    assert np.isfinite(wavs).all()
+
+
+def test_generate_piano_strip_half_mode(pipeline, tmp_path):
+    """The opt-in 2:1 strip-shipping mode must run end to end and stay close
+    to the exact-strip output at the roll level (drift bounded much tighter
+    on real content; this asserts the plumbing, not the bound)."""
+    video = str(tmp_path / "ph.mp4")
+    if not write_synthetic_video(video, frames=8, fps=4):
+        pytest.skip("cv2 video writer unavailable")
+    wav_exact, _ = pipeline.generate(video, "", steps=2, piano=True, seed=7)
+    old_flag, old_tag = pipeline._ship_strip_half, pipeline._roll_tag
+    pipeline._ship_strip_half = True
+    pipeline._roll_tag = old_tag + "+shalf"   # packed rolls get their own cache
+    try:
+        wav_half, _ = pipeline.generate(video, "", steps=2, piano=True, seed=7)
+    finally:
+        pipeline._ship_strip_half, pipeline._roll_tag = old_flag, old_tag
+    assert np.isfinite(wav_half).all()
+    assert wav_half.shape == wav_exact.shape
