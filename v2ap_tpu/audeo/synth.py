@@ -91,7 +91,8 @@ def _piano_tone(freq: float, dur_s: float, sr: int,
     if release > 1:
         env[-release:] *= np.exp(-np.linspace(0.0, 5.0, release))
     out = (wave * env).astype(np.float32)
-    if len(_TONE_CACHE) < 4096:           # bound memory on huge rolls
+    # bound memory on huge rolls: ~1024 tones x ~150 KB ~= 150 MB worst case
+    if len(_TONE_CACHE) < 1024:
         _TONE_CACHE[key] = out
     return out
 
