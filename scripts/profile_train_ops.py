@@ -34,7 +34,11 @@ def main(batch: int = 8) -> None:
     b, n, nc = batch, 736, 16
     model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
                                      with_video2roll=False, rngs=nnx.Rngs(0)))
-    trainer = Trainer(model, TrainConfig(warmup_steps=10, decay_steps=10_000))
+    trainer = Trainer(model, TrainConfig(
+        warmup_steps=10, decay_steps=10_000,
+        # match bench_train's env knobs so the b24 bench config is profilable
+        # (b >= 16 only fits with mu_bf16 + full remat)
+        mu_bf16=os.environ.get("V2AP_MU_BF16", "0") == "1"))
 
     rng = np.random.default_rng(0)
     r = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
