@@ -14,6 +14,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(batch: int = 8) -> None:
@@ -63,17 +64,11 @@ def main(batch: int = 8) -> None:
     print("xplane files:", planes)
     if not planes:
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    for tool in ("op_profile", "framework_op_stats"):
-        try:
-            data, _ = rtd.xspace_to_tool_data(planes, tool, {})
-            out = f"/tmp/v2ap_trace_{tool}.out"
-            mode = "wb" if isinstance(data, bytes) else "w"
-            with open(out, mode) as f:
-                f.write(data)
-            print(f"wrote {out} ({len(data)} bytes)")
-        except Exception as exc:
-            print(f"{tool}: {type(exc).__name__}: {exc}")
+    # direct wire-format parse: the tensorboard_plugin_profile converter is
+    # ABI-incompatible with the installed protobuf, and the Chrome-trace JSON
+    # the profiler also emits downsamples the op lane (~40% of module wall)
+    from xplane_summary import summarize
+    summarize(logdir, top=30, steps=3)
 
 
 if __name__ == "__main__":
