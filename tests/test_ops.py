@@ -148,6 +148,127 @@ def test_flash_attention_fully_masked_row_gradients(rng):
     np.testing.assert_allclose(dv[0], rv[0], rtol=5e-4, atol=5e-4)
 
 
+def _unpack(t, h, d):
+    b, n, _ = t.shape
+    return t.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("softclamp", [None, 50.0])
+@pytest.mark.parametrize("h,d", [(4, 64), (2, 64)])
+def test_flash_packed_matches_reference(rng, softclamp, h, d):
+    """The transpose-free packed kernels ((b, n, h*d) blocks, static
+    head-group unroll) against the 4D reference math."""
+    from v2ap_tpu.ops.flash_attention import (
+        flash_attention_packed, packed_eligible)
+    b, n = 2, 256
+    assert packed_eligible(h, d, n, n)
+    q = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, n)) > 0.3)
+    ref = attention_reference(_unpack(q, h, d), _unpack(k, h, d),
+                              _unpack(v, h, d), mask, softclamp=softclamp)
+    ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(b, n, h * d))
+    out = flash_attention_packed(q, k, v, mask, heads=h, dim_head=d,
+                                 softclamp=softclamp, block_q=128,
+                                 block_k=128, interpret=True)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_packed_gradients_match_reference(rng):
+    """Packed Pallas backward (dq + dkv kernels over (b, n, h*d) blocks,
+    lse/dcap in the sublane-padded row layout) vs the reference VJP."""
+    from v2ap_tpu.ops.flash_attention import flash_attention_packed
+    b, n, h, d = 2, 256, 4, 64
+    q = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, n)) > 0.3)
+    w = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+
+    def loss_packed(q, k, v):
+        out = flash_attention_packed(q, k, v, mask, heads=h, dim_head=d,
+                                     softclamp=50.0, block_q=128,
+                                     block_k=128, interpret=True)
+        return (out * w).sum()
+
+    def loss_ref(q, k, v):
+        out = attention_reference(_unpack(q, h, d), _unpack(k, h, d),
+                                  _unpack(v, h, d), mask, softclamp=50.0)
+        return (out.transpose(0, 2, 1, 3).reshape(b, n, h * d) * w).sum()
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(a, b_, rtol=5e-4, atol=5e-4)
+
+
+def test_flash_packed_fully_masked_row(rng):
+    """Fully-masked batch element: zero gradients, finite everywhere (same
+    guarantee the 4D kernels pin)."""
+    from v2ap_tpu.ops.flash_attention import flash_attention_packed
+    b, n, h, d = 2, 128, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    mask = jnp.stack([jnp.ones((n,), bool), jnp.zeros((n,), bool)])
+
+    def loss(q, k, v):
+        out = flash_attention_packed(q, k, v, mask, heads=h, dim_head=d,
+                                     softclamp=50.0, block_q=128,
+                                     block_k=128, interpret=True)
+        return (out * out).sum()
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in (dq, dk, dv):
+        assert np.all(np.isfinite(np.asarray(g)))
+        np.testing.assert_allclose(np.asarray(g[1]), 0.0, atol=1e-6)
+
+
+def test_apply_rope_seq_axis_matches_default(rng):
+    """apply_rope(seq_axis=1) on (b, n, h, d) equals the (b, h, n, d)
+    default path transposed — the packed attention path depends on it."""
+    b, n, h, d = 2, 12, 3, 32
+    t = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+    freqs = rope_table(n, d)
+    got = apply_rope(t, freqs, seq_axis=1)
+    want = apply_rope(t.transpose(0, 2, 1, 3), freqs).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # partial rotary too (frames stream: table narrower than the head)
+    freqs_p = rope_table(n, 16)
+    got_p = apply_rope(t, freqs_p, seq_axis=1)
+    want_p = apply_rope(t.transpose(0, 2, 1, 3), freqs_p).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got_p, want_p, rtol=1e-6, atol=1e-6)
+
+
+def test_attention_module_packed_matches_fallback(rng):
+    """The Attention module's packed-eligible path (use_pallas=True,
+    interpret-safe shapes) must match its head-transposed fallback."""
+    kw = dict(dim=128, heads=2, dim_head=64, softclamp_logits=True,
+              rngs=nnx.Rngs(0))
+    a1 = Attention(use_pallas=False, **kw)
+    x = jnp.asarray(rng.normal(size=(2, 256, 128)), jnp.float32)
+    rot = rope_table(256, 64)
+    mask = jnp.asarray(rng.random((2, 256)) > 0.2)
+    want = a1(x, rotary=rot, mask=mask)
+    # monkeypatch-free: call the packed kernel path by reusing the module
+    # with use_pallas=True under interpret mode via the module's kernels
+    a1.use_pallas = True
+    import v2ap_tpu.ops.attention as attn_mod
+    old = attn_mod.flash_attention_packed
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return old(*args, **kwargs)
+
+    attn_mod.flash_attention_packed = interp
+    try:
+        got = a1(x, rotary=rot, mask=mask)
+    finally:
+        attn_mod.flash_attention_packed = old
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_attention_module_self_and_cross(rng):
     self_attn = Attention(32, heads=2, dim_head=16, use_pallas=False,
                           rngs=nnx.Rngs(0))

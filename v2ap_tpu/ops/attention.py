@@ -18,6 +18,8 @@ from flax import nnx
 from v2ap_tpu.ops.flash_attention import (
     attention_reference,
     flash_attention,
+    flash_attention_packed,
+    packed_eligible,
     use_pallas_default,
 )
 from v2ap_tpu.ops.rope import apply_rope
@@ -87,23 +89,49 @@ class Attention(nnx.Module):
 
         if self.fused_qkv and not has_context:
             qkv = self.to_qkv(x)
-            q, k, v = (self._split(t) for t in jnp.split(qkv, 3, axis=-1))
+            qp, kp, vp = jnp.split(qkv, 3, axis=-1)       # (b, n, h*d) packed
         else:
             assert not self.fused_qkv, \
                 "cross-attention requires dim_context-separate projections"
-            q = self._split(self.to_q(x))
-            k = self._split(self.to_k(kv_input))
-            v = self._split(self.to_v(kv_input))
-
-        if rotary is not None and not has_context:
-            q = apply_rope(q, rotary)
-            k = apply_rope(k, rotary)
+            qp = self.to_q(x)
+            kp = self.to_k(kv_input)
+            vp = self.to_v(kv_input)
 
         kv_mask = context_mask if has_context else mask
+        b, n, _ = x.shape
+        h, d = self.heads, self.dim_head
+        nk = kp.shape[1]
 
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = use_pallas_default()
+
+        if use_pallas and packed_eligible(h, d, n, nk):
+            # transpose-free path: the Pallas kernels block the head-packed
+            # (b, n, h*d) projections directly — no (b,h,n,d) materialisation
+            # (the b24 train profile attributed ~90 ms/step to those layout
+            # transposes; see flash_attention.py packed-kernel notes)
+            if rotary is not None and not has_context:
+                qp = apply_rope(qp.reshape(b, n, h, d), rotary,
+                                seq_axis=1).reshape(b, n, h * d)
+                kp = apply_rope(kp.reshape(b, nk, h, d), rotary,
+                                seq_axis=1).reshape(b, nk, h * d)
+            out = flash_attention_packed(qp, kp, vp, kv_mask, heads=h,
+                                         dim_head=d, softclamp=self.softclamp)
+            out = self.dropout(out, deterministic=deterministic)
+            if self.to_v_gates is not None:
+                gates = nnx.sigmoid(self.to_v_gates(x))      # (b, n, heads)
+                out = (out.reshape(b, n, h, d) * gates[..., None]
+                       ).reshape(b, n, h * d)
+            return self.to_out(out)
+
+        # head-transposed path: CPU/reference oracle and shapes the packed
+        # kernels cannot take (unaligned lengths, head_group-less configs)
+        q, k, v = (self._split(t) for t in (qp, kp, vp))
+        if rotary is not None and not has_context:
+            q = apply_rope(q, rotary)
+            k = apply_rope(k, rotary)
+
         # flash kernel needs 128-multiple K length; fall back otherwise
         if use_pallas and k.shape[2] % 128 == 0 and q.shape[2] % 128 == 0:
             out = flash_attention(q, k, v, kv_mask, softclamp=self.softclamp)

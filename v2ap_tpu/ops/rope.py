@@ -29,8 +29,10 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
-def apply_rope(t: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
-    """Rotate the last dim of t (..., n, d) by freqs (n, d).
+def apply_rope(t: jnp.ndarray, freqs: jnp.ndarray,
+               seq_axis: int = -2) -> jnp.ndarray:
+    """Rotate the last dim of t by freqs (n, d); the sequence dim of ``t``
+    is ``seq_axis`` (default -2 for (..., n, d); pass 1 for (b, n, h, d)).
 
     If t's head dim is wider than the rope table, the tail is left unrotated
     (partial-rotary); if the table is longer than the sequence, the *last*
@@ -45,9 +47,13 @@ def apply_rope(t: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     which is the same complex rotation with half the layout copies.
     """
     rot_dim = freqs.shape[-1]
-    seq_len = t.shape[-2]
+    sa = seq_axis % t.ndim
+    seq_len = t.shape[sa]
     half = rot_dim // 2
     freqs_h = freqs[-seq_len:, :half]        # both halves share these angles
+    if sa != t.ndim - 2:                     # broadcast across dims after seq
+        freqs_h = freqs_h.reshape(
+            (seq_len,) + (1,) * (t.ndim - 2 - sa) + (half,))
     t_pass = t[..., rot_dim:]
     dtype = t.dtype
     x1 = t[..., :half].astype(jnp.float32)
