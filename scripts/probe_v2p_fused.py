@@ -25,13 +25,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def legacy_read_and_strips(path, step=1, width=900, height=100):
+def legacy_read_and_strips(path, step=1, width=900, height=100, strip_step=1):
     from v2ap_tpu.data.video_io import piano_preprocess, read_video_frames
     frames, dur = read_video_frames(path)
     if frames is None:
-        return None, None, None
-    strips = piano_preprocess(frames, width, height)
-    return frames[::step], strips, dur
+        return None, None, None, None
+    strips = piano_preprocess(frames[::strip_step], width, height)
+    return frames[::step], strips, dur, len(frames)
 
 
 def main() -> None:

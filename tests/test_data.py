@@ -245,7 +245,7 @@ def test_fused_decode_matches_two_pass(tmp_path):
     if not write_synthetic_video(video, frames=11, fps=4):
         pytest.skip("no video writer available")
     for step in (1, 3):
-        rgb, strips, dur = read_video_frames_and_strips(
+        rgb, strips, dur, n_src = read_video_frames_and_strips(
             video, step=step, width=90, height=10)
         full, dur_ref = read_video_frames(video)
         strided, _ = read_video_frames(video, step=step)
@@ -254,6 +254,17 @@ def test_fused_decode_matches_two_pass(tmp_path):
             strips, piano_preprocess(full, width=90, height=10))
         assert dur == dur_ref
         assert strips.dtype == np.uint8 and len(strips) == len(full)
+        assert n_src == len(full)
+
+    # strided strips: bit-identical to the full-rate strips at the anchors
+    for ss in (2, 3):
+        rgb, strips_ss, dur, n_src = read_video_frames_and_strips(
+            video, step=3, width=90, height=10, strip_step=ss)
+        full, _ = read_video_frames(video)
+        np.testing.assert_array_equal(
+            strips_ss, piano_preprocess(full[::ss], width=90, height=10))
+        np.testing.assert_array_equal(rgb, full[::3])
+        assert n_src == len(full)
 
     assert read_video_frames_and_strips(str(tmp_path / "no.mp4"))[0] is None
 

@@ -488,6 +488,59 @@ def test_generate_batch_piano_fused(pipeline, tmp_path):
     assert np.isfinite(wavs).all()
 
 
+def test_generate_piano_strip_stride_mode(pipeline, tmp_path):
+    """Strided keyboard strips (grab()-skipped decode + device lerp between
+    anchors) must run end to end; at the anchor rows the lerped roll input is
+    the exact strip, so on a short clip the wav stays finite and shaped."""
+    video = str(tmp_path / "pss.mp4")
+    if not write_synthetic_video(video, frames=10, fps=4):
+        pytest.skip("cv2 video writer unavailable")
+    wav_exact, _ = pipeline.generate(video, "", steps=2, piano=True, seed=9)
+    old_ss, old_tag = pipeline._strip_stride, pipeline._roll_tag
+    pipeline._strip_stride = 2
+    pipeline._roll_tag = old_tag + "+ss2"     # lerped rolls own their cache
+    try:
+        wav_ss, _ = pipeline.generate(video, "", steps=2, piano=True, seed=9)
+        # warm rerun hits the tagged roll cache and reproduces bit-exactly
+        wav_ss2, _ = pipeline.generate(video, "", steps=2, piano=True, seed=9)
+    finally:
+        pipeline._strip_stride, pipeline._roll_tag = old_ss, old_tag
+    assert np.isfinite(wav_ss).all()
+    assert wav_ss.shape == wav_exact.shape
+    np.testing.assert_allclose(wav_ss, wav_ss2)
+
+
+def test_interp_weights_piano_parity():
+    """strip_step=1 must reduce to the exact interp_indices_piano selection
+    (all-zero weights); strided plans must hit anchors exactly and lerp a
+    linear ramp perfectly in between."""
+    from v2ap_tpu.data.video_io import (interp_indices_piano,
+                                        interp_weights_piano)
+
+    num_source, dur, length = 37, 3.7, 96
+    idx = interp_indices_piano(num_source, dur, length)
+    i0, i1, w = interp_weights_piano(num_source, dur, length, strip_step=1)
+    np.testing.assert_array_equal(i0, idx)
+    assert (w == 0).all()
+
+    for ss in (2, 3):
+        i0, i1, w = interp_weights_piano(num_source, dur, length, strip_step=ss)
+        n_strided = (num_source + ss - 1) // ss
+        assert i0.max() < n_strided and i1.max() < n_strided
+        # a ramp source: strided lerp reconstructs the full-rate selection
+        ramp = np.arange(num_source, dtype=np.float64)
+        strided = ramp[::ss]
+        recon = strided[i0] * (1 - w) + strided[i1] * w
+        exact = ramp[idx]
+        # interior rows reconstruct exactly; the tail past the last anchor
+        # clamps (within one stride of the end)
+        interior = idx < (n_strided - 1) * ss
+        np.testing.assert_allclose(recon[interior], exact[interior],
+                                   atol=1e-6)
+        anchors = idx % ss == 0
+        assert (w[anchors & interior] == 0).all()
+
+
 def test_generate_piano_strip_half_mode(pipeline, tmp_path):
     """The opt-in 2:1 strip-shipping mode must run end to end and stay close
     to the exact-strip output at the roll level (drift bounded much tighter

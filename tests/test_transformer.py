@@ -118,6 +118,46 @@ def test_gradients_flow():
     assert np.isfinite(total) and total > 0
 
 
+def test_fused_adaln_matches_unfused():
+    """cfg.fused_adaln stacks every layer's time-cond projection into one
+    matmul — outputs and input-gradients must match the per-op path. The
+    projections are zero-init, so perturb them all first or the test would
+    pass vacuously."""
+    import dataclasses
+
+    cfg = cfglib.tiny_test().model
+    rng = np.random.default_rng(3)
+    r = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    b, n = 2, 8
+    args = dict(times=jnp.asarray([0.3, 0.7]), mask=None,
+                text_embed=r(b, n, cfg.dim_text),
+                frames_embed=r(b, n, cfg.dim_frames))
+    x = r(b, n, cfg.dim)
+
+    outs, grads = [], []
+    for fused in (False, True):
+        mcfg = dataclasses.replace(cfg, fused_adaln=fused)
+        model = create_model(lambda: TriStreamTransformer(mcfg,
+                                                          rngs=nnx.Rngs(0)))
+        for blk in model.audio_blocks:
+            for m in blk.cond_projections():
+                k = m.to_gamma.kernel
+                k[...] = jnp.asarray(np.random.default_rng(11).normal(
+                    size=k[...].shape) * 0.2, jnp.float32)
+        graphdef, state = nnx.split(model)
+
+        @jax.jit
+        def loss_fn(state, x):
+            m = nnx.merge(graphdef, state)
+            out = m(x, **args)
+            return (out * out).mean()
+
+        outs.append(float(loss_fn(state, x)))
+        grads.append(np.asarray(jax.grad(loss_fn, argnums=1)(state, x)))
+    assert abs(outs[0] - outs[1]) < 1e-6, outs
+    np.testing.assert_allclose(grads[0], grads[1], rtol=1e-5, atol=1e-6)
+
+
 def test_remat_matches_unremat():
     """cfg.remat=True must not change outputs or gradients — it only trades
     recompute for activation memory in the backward pass."""

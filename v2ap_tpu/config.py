@@ -80,6 +80,13 @@ class ModelConfig:
     # trading ~1.5 GB of saved activations (12x1024, batch 4) for skipping
     # most of the fwd recompute in the backward pass.
     remat_policy: str = "full"
+    # Fuse every audio layer's 6 (4 without cross-attn) time-cond projections
+    # (AdaptiveRMSNorm gammas + AdaLN-Zero gate logits) into ONE stacked
+    # matmul computed before the depth loop. Same math, but it replaces
+    # depth*6 tiny (b, dim)x(dim, dim) matmuls — recomputed again per layer
+    # under remat — with a single well-shaped one whose outputs are saved
+    # residuals. Parity-tested (tests/test_transformer.py).
+    fused_adaln: bool = True
 
     @property
     def video_multi(self) -> float:
@@ -130,6 +137,14 @@ class ConditioningConfig:
     piano_frame_h: int = 100
     piano_frame_w: int = 900
     piano_window: int = 5                      # stacked consecutive frames
+    # Serving-only keyboard-strip subsample (cold V2P lever): the fused
+    # decoder grabs()-skips frames between every Nth strip and the device
+    # lerps rolls between the strided anchors (interp_weights_piano). The
+    # full-rate strip decode is ~2/3 of cold V2P host time and the strips
+    # another ~21 MB of wire. Stride 1 = reference parity (every frame,
+    # exact index selection). Env V2AP_STRIP_STRIDE overrides; drift is
+    # bounded by scripts/probe_strip_stride.py.
+    strip_stride: int = 2
 
 
 @dataclass(frozen=True)
@@ -311,5 +326,7 @@ def tiny_test() -> V2APConfig:
         ),
         sampler=dataclasses.replace(cfg.sampler, steps=4),
         # parity numerics for tests: every decoded frame feeds the tower
-        conditioning=dataclasses.replace(cfg.conditioning, frame_stride=1),
+        # and every frame yields an exact keyboard strip
+        conditioning=dataclasses.replace(cfg.conditioning, frame_stride=1,
+                                         strip_stride=1),
     )

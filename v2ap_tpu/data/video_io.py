@@ -177,27 +177,36 @@ def read_video_frames(path: str, max_frames: Optional[int] = None,
 
 
 def read_video_frames_and_strips(
-    path: str, step: int = 1, width: int = 900, height: int = 100
-) -> Tuple[Optional[np.ndarray], Optional[np.ndarray], Optional[float]]:
+    path: str, step: int = 1, width: int = 900, height: int = 100,
+    strip_step: int = 1,
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray], Optional[float],
+           Optional[int]]:
     """One decode pass -> (RGB frames at every ``step``-th frame, grayscale
-    ``height x width`` keyboard strips for EVERY frame, duration).
+    ``height x width`` keyboard strips at every ``strip_step``-th frame,
+    duration, total source-frame count).
 
-    The piano branch needs full-rate strips while the vision tower only needs
-    every ``step``-th RGB frame; decoding twice (or materialising full-rate
-    RGB — 162 MB for the 10 s bench clip — just to gray it down again) wastes
-    most of the single-core host budget. Numerics are bit-identical to
+    The piano branch needs strips while the vision tower only needs every
+    ``step``-th RGB frame; decoding twice (or materialising full-rate RGB —
+    162 MB for the 10 s bench clip — just to gray it down again) wastes most
+    of the single-core host budget. Frames needed by NEITHER consumer go
+    through ``cap.grab()`` only (no YUV->RGB convert/copy — most of the
+    per-frame wall; same trick as read_video_frames(step=N)), so
+    ``strip_step`` > 1 cuts the decode itself, not just the strip volume;
+    the device linearly interpolates rolls between the strided strips
+    (pipelines/generate.py, interp_weights_piano). Numerics at
+    ``strip_step=1`` are bit-identical to
     ``piano_preprocess(read_video_frames(path)[0])`` +
     ``read_video_frames(path, step=step)``: cv2's BGR2GRAY reads the same
     physical channels as RGB2GRAY-after-BGR2RGB, and the strip resize sees
     the same gray plane (regression-tested in tests/test_data.py).
 
-    Returns (None, None, None) on decode failure.
+    Returns (None, None, None, None) on decode failure.
     """
     try:
         import cv2
         cap = cv2.VideoCapture(path)
         if not cap.isOpened():
-            return None, None, None
+            return None, None, None, None
         fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
         h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT) or 0)
         w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH) or 0)
@@ -206,24 +215,34 @@ def read_video_frames_and_strips(
             cap.release()                    # everything, strip separately
             frames, duration = read_video_frames(path)
             if frames is None:
-                return None, None, None
-            strips = piano_preprocess(frames, width, height)
-            return frames[::step], strips, duration
+                return None, None, None, None
+            strips = piano_preprocess(frames[::strip_step], width, height)
+            return frames[::step], strips, duration, len(frames)
         cap_frames = max((n_est + step - 1) // step, 8)
         rgb = np.empty((cap_frames, h, w, 3), np.uint8)
-        strips = np.empty((max(n_est, 8), height, width), np.uint8)
+        strips = np.empty((max((n_est + strip_step - 1) // strip_step, 8),
+                           height, width), np.uint8)
         gray = np.empty((h, w), np.uint8)    # reused per-frame scratch
-        k_rgb = i = 0
+        k_rgb = k_strip = i = 0
         while True:
+            want_rgb = i % step == 0
+            want_strip = i % strip_step == 0
+            if not (want_rgb or want_strip):
+                if not cap.grab():
+                    break
+                i += 1
+                continue
             ok, frame = cap.read()
             if not ok or frame.shape[:2] != (h, w):
                 break
-            if i == len(strips):             # metadata undercounted
-                strips = np.concatenate([strips, np.empty_like(strips)])
-            cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY, dst=gray)
-            cv2.resize(gray, (width, height),
-                       interpolation=cv2.INTER_LINEAR, dst=strips[i])
-            if i % step == 0:
+            if want_strip:
+                if k_strip == len(strips):   # metadata undercounted
+                    strips = np.concatenate([strips, np.empty_like(strips)])
+                cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY, dst=gray)
+                cv2.resize(gray, (width, height),
+                           interpolation=cv2.INTER_LINEAR, dst=strips[k_strip])
+                k_strip += 1
+            if want_rgb:
                 if k_rgb == len(rgb):
                     rgb = np.concatenate([rgb, np.empty_like(rgb)])
                 cv2.cvtColor(frame, cv2.COLOR_BGR2RGB, dst=rgb[k_rgb])
@@ -231,11 +250,11 @@ def read_video_frames_and_strips(
             i += 1
         cap.release()
         if i == 0:
-            return None, None, None
+            return None, None, None, None
         duration = i / fps if fps > 0 else i / 25.0
-        return rgb[:k_rgb], strips[:i], float(duration)
+        return rgb[:k_rgb], strips[:k_strip], float(duration), i
     except Exception:
-        return None, None, None
+        return None, None, None, None
 
 
 def probe_duration(path: str) -> Optional[float]:
@@ -395,6 +414,36 @@ def interp_indices_piano(num_source: int, duration: float, length: int,
     denom = duration / max(num_source, 1)
     idx = np.round(samples / sample_rate / denom)
     return np.clip(idx.astype(np.int64), 0, num_source - 1)
+
+
+def interp_weights_piano(num_source: int, duration: float, length: int,
+                         strip_step: int, video_multi: float = 3.0,
+                         start_sample: int = 0,
+                         max_sample: Optional[int] = None,
+                         sample_rate: int = SAMPLE_RATE,
+                         frame_size: int = FRAME_SIZE
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lerp plan for roll-rate strips out of a ``strip_step``-strided strip
+    array: (i0, i1, w) such that ``strips_strided[i0]*(1-w) +
+    strips_strided[i1]*w`` approximates the full-rate
+    ``strips[interp_indices_piano(...)]`` selection. Each roll row first
+    resolves to the SAME full-rate source index as interp_indices_piano
+    (reference rounding, e2_tts_crossatt3.py:1888-1943); rows landing on a
+    decoded stride anchor get w == 0 (exact), in-between rows blend the two
+    neighbouring anchors. ``num_source`` is the FULL-rate frame count."""
+    idx = interp_indices_piano(num_source, duration, length,
+                               video_multi=video_multi,
+                               start_sample=start_sample,
+                               max_sample=max_sample,
+                               sample_rate=sample_rate,
+                               frame_size=frame_size)
+    n_strided = (num_source + strip_step - 1) // strip_step
+    f = idx.astype(np.float64) / strip_step
+    i0 = np.clip(np.floor(f).astype(np.int64), 0, n_strided - 1)
+    i1 = np.minimum(i0 + 1, n_strided - 1)
+    w = (f - i0).astype(np.float32)
+    w[i1 == i0] = 0.0
+    return i0.astype(np.int32), i1.astype(np.int32), w
 
 
 def mux_audio_onto_video(video_path: str, audio: np.ndarray, sr: int,

@@ -136,15 +136,30 @@ class AudioBlock(nnx.Module):
         self.ff = GLUFeedForward(dim, cfg.ff_mult, cfg.dropout, dtype=dtype, rngs=rngs)
         self.ff_gate = AdaLNZero(dim, rngs=rngs)
 
+    def cond_projections(self):
+        """The block's time-cond projections in slot order (for the fused
+        stacked matmul): (module, has_bias) pairs. Gammas precomputed in this
+        order feed ``__call__(gammas=...)``."""
+        mods = [self.attn_norm, self.attn_gate]
+        if self.cross_attn is not None:
+            mods += [self.cross_norm, self.cross_gate]
+        mods += [self.ff_norm, self.ff_gate]
+        return mods
+
     def __call__(self, x, skip, *, cond, rotary, mask, context, context_mask,
-                 deterministic=True):
+                 deterministic=True, gammas=None):
         if self.skip_proj is not None:
             x = self.skip_proj(jnp.concatenate([x, skip], axis=-1))
         if self.conv is not None:
             x = self.conv(x, mask=mask) + x
-        attn_out = self.attn(self.attn_norm(x, condition=cond), rotary=rotary,
+        # gammas: (b, n_slots, dim) raw cond projections precomputed by the
+        # transformer's fused stacked matmul; None = project per sub-op.
+        g = (lambda i: gammas[:, i]) if gammas is not None else (lambda i: None)
+        attn_out = self.attn(self.attn_norm(x, condition=cond, gamma=g(0)),
+                             rotary=rotary,
                              mask=mask, deterministic=deterministic)
-        x = x + self.attn_gate(attn_out, condition=cond)
+        x = x + self.attn_gate(attn_out, condition=cond, gamma=g(1))
+        slot = 2
         if self.cross_attn is not None and (context is not None
                                             or self.cross_self_ok):
             # context=None is NOT a skip: the reference always runs attn2
@@ -155,17 +170,20 @@ class AudioBlock(nnx.Module):
             # cancels in the with-context (no-rope) case. Dropped/empty
             # prompts are a ZEROED context (reference :2058-2062), not None.
             cross_out = self.cross_attn(
-                self.cross_norm(x, condition=cond), rotary=rotary, mask=mask,
-                context=context, context_mask=context_mask,
+                self.cross_norm(x, condition=cond, gamma=g(2)), rotary=rotary,
+                mask=mask, context=context, context_mask=context_mask,
                 deterministic=deterministic)
-            x = x + self.cross_gate(cross_out, condition=cond)
-        ff_out = self.ff(self.ff_norm(x, condition=cond), deterministic=deterministic)
-        x = x + self.ff_gate(ff_out, condition=cond)
+            x = x + self.cross_gate(cross_out, condition=cond, gamma=g(3))
+        if self.cross_attn is not None:
+            slot = 4
+        ff_out = self.ff(self.ff_norm(x, condition=cond, gamma=g(slot)),
+                         deterministic=deterministic)
+        x = x + self.ff_gate(ff_out, condition=cond, gamma=g(slot + 1))
         return x
 
 
 def _layer_fwd(text_block, frames_block, cross_cond, audio_block,
-               x, text_embed, frames_embed, skip, cond,
+               x, text_embed, frames_embed, skip, cond, gammas,
                rot_audio, rot_text, rot_frames, mask, context, context_mask,
                deterministic, collect):
     """One tri-stream layer (text/frames towers -> cross-condition fusion ->
@@ -185,13 +203,13 @@ def _layer_fwd(text_block, frames_block, cross_cond, audio_block,
     x_mid = x
     x = audio_block(x, skip, cond=cond, rotary=rot_audio, mask=mask,
                     context=context, context_mask=context_mask,
-                    deterministic=deterministic)
+                    deterministic=deterministic, gammas=gammas)
     return x, text_embed, frames_embed, x_mid, collected
 
 
-_layer_fwd_remat = nnx.remat(_layer_fwd, static_argnums=(15, 16))
+_layer_fwd_remat = nnx.remat(_layer_fwd, static_argnums=(16, 17))
 _layer_fwd_remat_dots = nnx.remat(
-    _layer_fwd, static_argnums=(15, 16),
+    _layer_fwd, static_argnums=(16, 17),
     policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
 
@@ -245,6 +263,33 @@ class TriStreamTransformer(nnx.Module):
                 dtype=dtype, rngs=rngs))
 
         self.final_norm = RMSNorm(cfg.dim, rngs=rngs)
+
+    def _fused_cond_gammas(self, cond: jnp.ndarray) -> jnp.ndarray:
+        """All audio layers' time-cond projections as ONE stacked matmul.
+
+        Every AudioBlock owns 6 (4 without cross-attn) zero-init Linear(dim →
+        dim) projections of the SAME per-batch ``cond`` (the reference
+        projects per sub-op inside each layer, e2_tts_crossatt3.py:38-45 +
+        532-551). Stacking the kernels into (dim, depth*slots*dim) turns
+        depth*slots tiny MXU-starved matmuls — recomputed once more per layer
+        under remat — into one well-shaped matmul whose (b, slots, dim)
+        per-layer outputs are cheap saved residuals. Identical math; norms
+        apply (+1), gates apply sigmoid, downstream.
+
+        Returns (depth, b, slots, dim) float32 raw projections.
+        """
+        mods = [blk.cond_projections() for blk in self.audio_blocks]
+        slots = len(mods[0])
+        dim = self.cfg.dim
+        kernel = jnp.concatenate(
+            [m.to_gamma.kernel[...] for layer in mods for m in layer], axis=1)
+        bias = jnp.concatenate([
+            m.to_gamma.bias[...] if getattr(m.to_gamma, "bias", None) is not None
+            else jnp.zeros((dim,), jnp.float32)
+            for layer in mods for m in layer])
+        g = cond.astype(jnp.float32) @ kernel + bias      # (b, depth*slots*dim)
+        g = g.reshape(cond.shape[0], len(mods), slots, dim)
+        return jnp.transpose(g, (1, 0, 2, 3))             # (depth, b, slots, dim)
 
     def __call__(
         self,
@@ -300,6 +345,8 @@ class TriStreamTransformer(nnx.Module):
         if cfg.remat:
             layer_fn = (_layer_fwd_remat_dots if cfg.remat_policy == "dots"
                         else _layer_fwd_remat)
+        all_gammas = (self._fused_cond_gammas(cond)
+                      if cfg.fused_adaln else None)
         for ind in range(cfg.depth):
             text_block = self.text_blocks[ind]
             has_towers = text_block is not None
@@ -315,6 +362,7 @@ class TriStreamTransformer(nnx.Module):
                 self.cross_conditions[ind] if has_towers else None,
                 self.audio_blocks[ind],
                 x, text_embed, frames_embed, skip, cond,
+                None if all_gammas is None else all_gammas[ind],
                 rot_audio, rot_text, rot_frames, mask, context, context_mask,
                 deterministic, collect)
             if layer <= cfg.depth // 2:

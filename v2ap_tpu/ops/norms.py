@@ -53,14 +53,20 @@ class AdaptiveRMSNorm(nnx.Module):
             param_dtype=jnp.float32, dtype=jnp.float32, rngs=rngs,
         )
 
-    def __call__(self, x: jnp.ndarray, *, condition: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, condition: jnp.ndarray | None = None,
+                 gamma: jnp.ndarray | None = None) -> jnp.ndarray:
         dtype = x.dtype
         x = x.astype(jnp.float32)
         normed = _l2_normalize(x) * self.scale
-        gamma = self.to_gamma(condition.astype(jnp.float32))
+        if gamma is None:
+            # ``gamma`` may be precomputed by the caller (the transformer
+            # fuses every layer's cond projection into one stacked matmul —
+            # see TriStreamTransformer._fused_cond_gammas); it is the RAW
+            # projection output, the (+1) happens here either way.
+            gamma = self.to_gamma(condition.astype(jnp.float32))
         if gamma.ndim == 2:
             gamma = gamma[:, None, :]
-        return (normed * (gamma + 1.0)).astype(dtype)
+        return (normed * (gamma.astype(jnp.float32) + 1.0)).astype(dtype)
 
 
 class AdaLNZero(nnx.Module):
@@ -79,11 +85,18 @@ class AdaLNZero(nnx.Module):
             param_dtype=jnp.float32, dtype=jnp.float32, rngs=rngs,
         )
 
-    def __call__(self, x: jnp.ndarray, *, condition: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, condition: jnp.ndarray | None = None,
+                 gamma: jnp.ndarray | None = None) -> jnp.ndarray:
         dtype = x.dtype
-        if condition.ndim == 2:
-            condition = condition[:, None, :]
-        gate = nnx.sigmoid(self.to_gamma(condition.astype(jnp.float32)))
+        if gamma is None:
+            # ``gamma`` = precomputed PRE-SIGMOID logits (kernel@cond + bias);
+            # see AdaptiveRMSNorm for the fused-projection rationale.
+            if condition.ndim == 2:
+                condition = condition[:, None, :]
+            gamma = self.to_gamma(condition.astype(jnp.float32))
+        elif gamma.ndim == 2:
+            gamma = gamma[:, None, :]
+        gate = nnx.sigmoid(gamma.astype(jnp.float32))
         return (x.astype(jnp.float32) * gate).astype(dtype)
 
 

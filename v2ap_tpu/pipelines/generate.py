@@ -264,6 +264,28 @@ class V2APipeline:
             "V2AP_SHIP_STRIP_HALF", "0") == "1"
         if self._ship_strip_half:   # packed-path rolls must not share caches
             self._roll_tag += "+shalf"
+        # Strided keyboard strips (cold V2P lever, r4): the fused decoder
+        # grab()-skips between every Nth strip — the full-rate strip decode
+        # (~2/3 of cold V2P host wall) and the ~21 MB strip upload both
+        # shrink N-fold — and the device lerps rolls between the strided
+        # anchors (interp_weights_piano + gather inside the jitted
+        # Video2Roll call). Unlike the strip-half pack this REMOVES host
+        # work from the critical path instead of adding it. Stride 1 =
+        # reference parity; drift bounds: scripts/probe_strip_stride.py.
+        env = os.environ.get("V2AP_STRIP_STRIDE")
+        self._strip_stride = max(1, int(env) if env
+                                 else self.cfg.conditioning.strip_stride)
+        if self._ship_strip_half:       # mutually exclusive wire levers
+            self._strip_stride = 1
+        if self._strip_stride > 1:      # lerped rolls must not share caches
+            self._roll_tag += f"+ss{self._strip_stride}"
+        self._encode_frames_strided = nnx.jit(
+            lambda m, strips, i0, i1, w, n: m.encode_frames(
+                (strips.astype(jnp.float32)[:, i0]
+                 * (1.0 - w)[None, :, None, None]
+                 + strips.astype(jnp.float32)[:, i1]
+                 * w[None, :, None, None]) / 255.0, n),
+            static_argnames="n")
 
     # ------------------------------------------------------------------ io
     def load_weights(self, ckpt_dir: str) -> list:
@@ -531,9 +553,32 @@ class V2APipeline:
             strips = pack_strips_half(strips)
         return self._jnp.asarray(strips[None])
 
+    def _strided_strip_plan(self, strips_src: np.ndarray, n_src: int,
+                            duration: float, length: int):
+        """Ship ``strip_stride``-strided strips + their device-lerp plan.
+        Returns the tuple `_roll_from_strips` expects. Rows pad to a
+        32-bucket (edge repeat; the plan never indexes pad rows) so the
+        tunnel sees stable array shapes across clips."""
+        from v2ap_tpu.data import video_io
+        i0, i1, w = video_io.interp_weights_piano(
+            n_src, duration, length, self._strip_stride,
+            video_multi=self.cfg.model.video_multi,
+            sample_rate=self.cfg.conditioning.sampling_rate,
+            frame_size=self.cfg.conditioning.frame_size)
+        pad = (-len(strips_src)) % 32
+        if pad:
+            strips_src = np.concatenate(
+                [strips_src, np.repeat(strips_src[-1:], pad, axis=0)])
+        jnp = self._jnp
+        return (jnp.asarray(strips_src[None]), jnp.asarray(i0),
+                jnp.asarray(i1), jnp.asarray(w))
+
     def _roll_from_strips(self, strips_dev, n: int):
-        """Video2Roll probabilities from an uploaded strip batch (packed or
-        exact, matching _ship_strips)."""
+        """Video2Roll probabilities from an uploaded strip batch (strided
+        plan tuple, packed, or exact — matching the shipping mode)."""
+        if isinstance(strips_dev, tuple):
+            strips, i0, i1, w = strips_dev
+            return self._encode_frames_strided(self.cfm, strips, i0, i1, w, n)
         fn = (self._encode_frames_half if self._ship_strip_half
               else self._encode_frames)
         return fn(self.cfm, strips_dev, n)
@@ -614,21 +659,30 @@ class V2APipeline:
                 # full-rate decode, then a second gray+resize pass over a
                 # 162 MB RGB array — dominated cold V2P host time)
                 _t = _time.perf_counter()
-                rgb, strips_src, dur = video_io.read_video_frames_and_strips(
-                    video_path, step=self._frame_stride,
-                    width=cond.piano_frame_w, height=cond.piano_frame_h)
+                ss = self._strip_stride
+                rgb, strips_src, dur, n_src = \
+                    video_io.read_video_frames_and_strips(
+                        video_path, step=self._frame_stride,
+                        width=cond.piano_frame_w, height=cond.piano_frame_h,
+                        strip_step=ss)
                 self._stage_timings["decode_s"] = _time.perf_counter() - _t
                 if rgb is not None:
                     decoded.append((rgb, dur, self._frame_stride))
                     dur0 = min(dur or 10.0, max_duration_s)
                     duration_s, n_valid, n = plan_length(dur0)
-                    strips = self.encode_piano_frames(
-                        video_path, n, frames_cache=decoded,
-                        strips_cache=[(strips_src, dur)])
-                    if strips is not None:
-                        # async host->device transfer starts here and overlaps
-                        # the CLIP preprocessing + tower pass below
-                        strips_dev = self._ship_strips(strips)
+                    if ss > 1:
+                        # strided strips never hit the full-rate strip cache;
+                        # the (tagged) roll cache still covers warm serving
+                        strips_dev = self._strided_strip_plan(
+                            strips_src, n_src, dur, n)
+                    else:
+                        strips = self.encode_piano_frames(
+                            video_path, n, frames_cache=decoded,
+                            strips_cache=[(strips_src, dur)])
+                        if strips is not None:
+                            # async host->device transfer starts here and
+                            # overlaps the CLIP preprocessing + tower pass
+                            strips_dev = self._ship_strips(strips)
         if video_path is not None:
             probe_len = int(max_duration_s * sr / cond.frame_size)
             text_embed_np, video_duration = self.encode_video_frames_clip(
@@ -769,29 +823,40 @@ class V2APipeline:
                 continue
             decoded = []
             strips_src = None
+            strided_plan = None
             if piano:
-                # fused decode: full-rate strips + tower-stride RGB in one
-                # codec pass (same as generate(); the towers reuse the RGB
-                # instead of a second decode)
+                # fused decode: strips + tower-stride RGB in one codec pass
+                # (same as generate(); the towers reuse the RGB instead of a
+                # second decode; strips decode at the strip stride)
                 from v2ap_tpu.data import video_io
-                rgb, s_full, dur = video_io.read_video_frames_and_strips(
+                ss = self._strip_stride
+                rgb, s_src, dur, n_src = video_io.read_video_frames_and_strips(
                     vp, step=self._frame_stride,
-                    width=cond.piano_frame_w, height=cond.piano_frame_h)
+                    width=cond.piano_frame_w, height=cond.piano_frame_h,
+                    strip_step=ss)
                 if rgb is not None:
                     decoded.append((rgb, dur, self._frame_stride))
-                    strips_src = [(s_full, dur)]
+                    if ss > 1:
+                        strided_plan = self._strided_strip_plan(
+                            s_src, n_src, dur, n_valid)
+                    else:
+                        strips_src = [(s_src, dur)]
             feats, _ = self.encode_video_frames_clip(vp, n_valid,
                                                      frames_cache=decoded)
             if feats is not None:
                 text[i, : len(feats)] = feats[:n]
             if piano:
-                strips = self.encode_piano_frames(vp, n_valid,
-                                                  frames_cache=decoded,
-                                                  strips_cache=strips_src)
-                if strips is not None:
-                    roll = np.asarray(self._roll_from_strips(
-                        self._ship_strips(strips), n))
-                    frames_roll[i] = roll[0]
+                if strided_plan is not None:
+                    frames_roll[i] = np.asarray(
+                        self._roll_from_strips(strided_plan, n))[0]
+                else:
+                    strips = self.encode_piano_frames(vp, n_valid,
+                                                      frames_cache=decoded,
+                                                      strips_cache=strips_src)
+                    if strips is not None:
+                        roll = np.asarray(self._roll_from_strips(
+                            self._ship_strips(strips), n))
+                        frames_roll[i] = roll[0]
 
         if all(not p.strip() for p in prompts):
             # all prompts dropped: zero context of any length is bit-identical
