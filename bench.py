@@ -15,7 +15,11 @@ inside the timed region):
 Baseline: the reference publishes no numbers (BASELINE.md); the north star is
 >=10x realtime per v5e chip at 25 steps, so ``vs_baseline`` = value / 10.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints the primary JSON line {"metric", "value", "unit", "vs_baseline",
+...extras} after EVERY completed section (hot loop -> e2e -> longvideo ->
+train); each line supersedes the previous, so the driver's tail always holds
+a complete artifact even if the process is killed mid-run. A wall budget
+(``V2AP_BENCH_BUDGET_S``, default 1500 s) gates each section.
 """
 
 from __future__ import annotations
@@ -26,6 +30,27 @@ import tempfile
 import time
 
 import numpy as np
+
+# ---- wall budget (VERDICT r4 weak #1: the r4 bench timed out under the
+# driver and lost every number). Every section checks the remaining budget
+# before starting and the expensive loops check it between reps; main()
+# prints a complete, parseable primary JSON line after EVERY section, so a
+# timeout at any point still leaves the newest line in the driver's tail.
+_BENCH_T0 = time.monotonic()
+
+
+def budget_remaining() -> float:
+    total = float(os.environ.get("V2AP_BENCH_BUDGET_S", "1500"))
+    return total - (time.monotonic() - _BENCH_T0)
+
+
+def section_fits(cost_s: float, name: str, result: dict) -> bool:
+    """True if ``cost_s`` seconds still fit the wall budget; otherwise the
+    section is recorded under ``sections_skipped`` and skipped."""
+    if budget_remaining() >= cost_s:
+        return True
+    result.setdefault("sections_skipped", []).append(name)
+    return False
 
 
 def _write_video(path: str, seconds: float = 9.8, fps: int = 24,
@@ -62,7 +87,7 @@ def record(result: dict, key: str, samples: list) -> None:
             "n": len(vals)}
 
 
-def bench_hot_loop(cfg, sampler, result: dict) -> None:
+def bench_hot_loop(cfg, sampler, result: dict, on_hot=None) -> None:
     """Round-1 metric: jitted sample+decode on random conditioning; plus the
     multipass (BASELINE config 4) and few-step distilled serving modes."""
     import jax
@@ -121,8 +146,11 @@ def bench_hot_loop(cfg, sampler, result: dict) -> None:
     timed_rtf(lambda i: generate(state, cstate, x0 + float(i) * 1e-6, text,
                                  frames, ctx, ctx_mask),
               "hot_loop_x_realtime")
+    if on_hot is not None:
+        on_hot()          # the headline exists: put a parseable line out NOW
 
-    if os.environ.get("V2AP_BENCH_EXTRA_MODES", "1") == "1":
+    if (os.environ.get("V2AP_BENCH_EXTRA_MODES", "1") == "1"
+            and section_fits(120, "multipass+fewstep", result)):
         # BASELINE config 4: multi-pass refinement (restart sampling) —
         # full ODE pass + one partial re-noised pass (CFM.sample_multipass;
         # reference CFG loop e2_tts_crossatt3.py:2090-2113 run per pass)
@@ -165,7 +193,8 @@ def bench_hot_loop(cfg, sampler, result: dict) -> None:
     # shift ~1.6% rms vs bf16 so it is never the primary metric — see
     # utils/quantize.py). Measured by default; V2AP_BENCH_INT8=0 skips the
     # extra compile when iterating on the bf16 numbers.
-    if os.environ.get("V2AP_BENCH_INT8", "1") == "1":
+    if (os.environ.get("V2AP_BENCH_INT8", "1") == "1"
+            and section_fits(90, "hot_int8", result)):
         try:
             from v2ap_tpu.utils.quantize import quantize_linears_int8
             quantize_linears_int8(model)
@@ -190,7 +219,7 @@ def bench_hot_loop(cfg, sampler, result: dict) -> None:
     # throughput mode (clips riding the batch axis): extra keys, on by
     # default (V2AP_BENCH_THROUGHPUT_BATCH=0 skips the extra compile)
     tb = int(os.environ.get("V2AP_BENCH_THROUGHPUT_BATCH", "8"))
-    if tb > 1:
+    if tb > 1 and section_fits(120, "throughput", result):
         x0b = jnp.tile(x0, (tb, 1, 1))
         textb = jnp.tile(text, (tb, 1, 1))
         framesb = jnp.tile(frames, (tb, 1, 1))
@@ -385,6 +414,13 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
             samples.setdefault(key, []).append(audio_s / wall)
         set_int8(True)
         set_stride(default_stride)
+        # later reps only refine the medians — drop them before they can
+        # cost the whole artifact (every variant was warmed + timed once
+        # by the end of rep 0)
+        if rep + 1 < reps and budget_remaining() < 120:
+            result.setdefault("sections_skipped", []).append(
+                f"e2e_reps_{rep + 2}_to_{reps}")
+            break
     for key, vals in samples.items():
         record(result, key, vals)
     # Per-stage split from ONE dedicated cold run with V2AP_STAGE_SYNC=1:
@@ -392,15 +428,16 @@ def bench_end_to_end(cfg, result: dict, pipeline_factory=None,
     # the tower drain lands inside sample_decode and the split lies. The
     # synced run serialises stage boundaries (slightly slower wall — its
     # realtime factor is deliberately NOT recorded).
-    set_cache(False)
-    os.environ["V2AP_STAGE_SYNC"] = "1"
-    try:
-        run(False, reps + 1)   # absorbs the sync path's own tiny-slice compile
-        run(False, reps + 2)   # reported run
-    finally:
-        os.environ.pop("V2AP_STAGE_SYNC", None)
-    for k, v in (getattr(pipe, "last_timings", None) or {}).items():
-        result[f"stage_{k}"] = round(float(v), 3)
+    if section_fits(90, "stage_sync", result):
+        set_cache(False)
+        os.environ["V2AP_STAGE_SYNC"] = "1"
+        try:
+            run(False, reps + 1)   # absorbs the sync path's tiny-slice compile
+            run(False, reps + 2)   # reported run
+        finally:
+            os.environ.pop("V2AP_STAGE_SYNC", None)
+        for k, v in (getattr(pipe, "last_timings", None) or {}).items():
+            result[f"stage_{k}"] = round(float(v), 3)
     clear_cache()
     return result.get("e2e_cold_x_realtime"), pipe
 
@@ -454,14 +491,21 @@ def compare_previous_round(primary: dict, repo_dir: str | None = None) -> None:
     import glob
     repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
-    if not files:
+    prev, prev_name = None, None
+    # newest VALID artifact: a timed-out round leaves parsed=null (r4 did)
+    # and must not silently turn the gate off for the round after it
+    for path in reversed(files):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed")
+        except Exception:
+            continue
+        if isinstance(parsed, dict) and parsed:
+            prev, prev_name = parsed, os.path.basename(path)
+            break
+    if prev is None:
         return
-    try:
-        with open(files[-1]) as f:
-            prev = json.load(f).get("parsed") or {}
-    except Exception:
-        return
-    primary["prev_round"] = os.path.basename(files[-1])
+    primary["prev_round"] = prev_name
     regressions = {}
     for k, v in list(primary.items()):
         if not isinstance(v, (int, float)) or isinstance(v, bool):
@@ -480,9 +524,12 @@ def compare_previous_round(primary: dict, repo_dir: str | None = None) -> None:
 
 def bench_training(result: dict) -> None:
     """Full-size training throughput + MFU (VERDICT r2 weak #3): run
-    scripts/bench_train.py as a subprocess BEFORE this process touches the
-    TPU — two live jax clients on the tunneled chip contend for HBM and skew
-    every timing, so the train bench must fully exit first."""
+    scripts/bench_train.py as a subprocess — two jax clients actively
+    computing on the tunneled chip contend for HBM and skew every timing,
+    so main() frees its device buffers and sits idle while this runs. Its
+    timeout never exceeds the remaining wall budget (minus slack for the
+    final emission), so a slow train compile can no longer eat the whole
+    artifact (it did in r4: rc=124, parsed=null)."""
     import subprocess
     import sys
 
@@ -490,32 +537,70 @@ def bench_training(result: dict) -> None:
                           "scripts", "bench_train.py")
     # best measured single-chip throughput config (r4 sweep): batch 24 +
     # FULL remat (smaller activations let the batch grow past what the
-    # "dots" policy fits) + bf16 AdamW first moment — 1620 ms/step,
-    # 145x realtime training audio, 28.4% MFU vs 601 ms / 131x / 25.5% at
-    # the old batch-8 "dots" setting. Env overrides keep A/Bs possible.
-    args = os.environ.get("V2AP_BENCH_TRAIN_ARGS", "6 24").split()
+    # "dots" policy fits) + bf16 AdamW first moment. 3 timed steps suffice
+    # for a median at this batch (the r4 default of 6 existed only to
+    # tighten a spread the driver then never saw). Env overrides keep A/Bs
+    # possible.
+    args = os.environ.get("V2AP_BENCH_TRAIN_ARGS", "3 24").split()
     env = dict(os.environ)
     env.setdefault("V2AP_MU_BF16", "1")
     env.setdefault("V2AP_REMAT_POLICY", "full")
+    timeout = min(int(os.environ.get("V2AP_BENCH_TRAIN_TIMEOUT", "1500")),
+                  max(60, int(budget_remaining() - 30)))
     try:
         out = subprocess.run(
             [sys.executable, script, *args], capture_output=True,
-            env=env,
-            text=True, timeout=int(os.environ.get("V2AP_BENCH_TRAIN_TIMEOUT",
-                                                  "1500")))
+            env=env, text=True, timeout=timeout)
         last = out.stdout.strip().splitlines()[-1]
         result.update(json.loads(last))
     except Exception as exc:
         result["train_bench_error"] = f"{type(exc).__name__}: {exc}"[:120]
 
 
-def main() -> None:
-    if os.environ.get("V2AP_BENCH_TRAIN", "1") == "1":
-        result_train: dict = {}
-        bench_training(result_train)
-    else:
-        result_train = {}
+def bench_subprocess_json(script_name: str, result: dict, error_key: str,
+                          *, timeout_env: str, default_timeout: int,
+                          args: tuple = ()) -> None:
+    """Run a scripts/ probe as a subprocess and merge its last-line JSON.
+    Timeout is capped at the remaining wall budget minus emission slack."""
+    import subprocess
+    import sys
 
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", script_name)
+    timeout = min(int(os.environ.get(timeout_env, str(default_timeout))),
+                  max(60, int(budget_remaining() - 30)))
+    try:
+        out = subprocess.run([sys.executable, script, *args],
+                             capture_output=True, text=True, timeout=timeout)
+        result.update(json.loads(out.stdout.strip().splitlines()[-1]))
+    except Exception as exc:
+        result[error_key] = f"{type(exc).__name__}: {exc}"[:120]
+
+
+def emit(result: dict, result_train: dict) -> dict:
+    """Assemble the primary JSON line from whatever exists so far and print
+    it. Called after every section: the driver parses the LAST line of
+    output, so each emission supersedes the previous one and a timeout at
+    any point still leaves the newest complete line in the tail."""
+    hot = result.get("hot_loop_x_realtime")
+    primary = {"metric": "v2a_realtime_factor_25step_cfg_encodec",
+               "value": hot,
+               "unit": "x_realtime_per_chip",
+               "vs_baseline": round(hot / 10.0, 3) if hot else None}
+    primary.update({k: v for k, v in result.items()
+                    if k != "hot_loop_x_realtime"})
+    primary.update(result_train)
+    primary["bench_wall_s"] = round(time.monotonic() - _BENCH_T0, 1)
+    compare_previous_round(primary)
+    print(json.dumps(primary), flush=True)
+    return primary
+
+
+def main() -> None:
+    # Section order is value-first (VERDICT r4 next-step #1c): hot loop ->
+    # end-to-end serving -> long video -> training. Training moved LAST
+    # (it was first in r4 and its ~25 min subprocess starved everything
+    # else); main() drops its own device buffers before launching it.
     from v2ap_tpu.utils.jitting import enable_compile_cache
     enable_compile_cache()
 
@@ -525,31 +610,49 @@ def main() -> None:
     sampler = SamplerConfig(steps=25, cfg_strength=2.0, sway_sampling=True)
 
     result: dict = {}
-    bench_hot_loop(cfg, sampler, result)
+    result_train: dict = {}
     try:
-        e2e, pipe = bench_end_to_end(cfg, result)
-    except Exception as exc:          # report the hot loop even if e2e breaks
-        result["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
-        e2e, pipe = None, None
-    if pipe is not None and os.environ.get("V2AP_BENCH_LONGVIDEO", "1") == "1":
-        bench_long_video(cfg, result, pipe)
+        bench_hot_loop(cfg, sampler, result,
+                       on_hot=lambda: emit(result, result_train))
+    except Exception as exc:
+        result["hot_loop_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    emit(result, result_train)
 
-    # primary metric stays the round-1 hot loop (cross-round comparable);
-    # the e2e numbers ride as extra keys: e2e_cold_x_realtime pays video
-    # decode + CLIP bigG + T5 every call, e2e_cached_x_realtime is
-    # steady-state serving with the reference's own per-video feature cache
-    # (predict.py reuses .generated.npz)
-    hot = result.pop("hot_loop_x_realtime")
-    primary = {"metric": "v2a_realtime_factor_25step_cfg_encodec",
-               "value": hot,
-               "unit": "x_realtime_per_chip",
-               "vs_baseline": round(hot / 10.0, 3)}
-    if e2e is not None:
-        primary["e2e_cold_x_realtime"] = round(e2e, 3)
-    primary.update(result)
-    primary.update(result_train)
-    compare_previous_round(primary)
-    print(json.dumps(primary))
+    pipe = None
+    if section_fits(240, "e2e", result):
+        try:
+            e2e, pipe = bench_end_to_end(cfg, result)
+            if e2e is not None:
+                result["e2e_cold_x_realtime"] = round(e2e, 3)
+        except Exception as exc:      # report the hot loop even if e2e breaks
+            result["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        emit(result, result_train)
+
+    if (pipe is not None
+            and os.environ.get("V2AP_BENCH_LONGVIDEO", "1") == "1"
+            and section_fits(150, "longvideo", result)):
+        bench_long_video(cfg, result, pipe)
+        emit(result, result_train)
+
+    # free this process's device buffers before the subprocess sections
+    # claim the chip (models/pipeline hold several GB of HBM via the tunnel)
+    import gc
+    del pipe
+    gc.collect()
+
+    if (os.environ.get("V2AP_BENCH_COMPOSITE", "1") == "1"
+            and section_fits(300, "composite_drift", result)):
+        bench_subprocess_json(
+            "probe_composite_drift.py", result, "composite_drift_error",
+            timeout_env="V2AP_BENCH_COMPOSITE_TIMEOUT", default_timeout=700)
+        emit(result, result_train)
+
+    if (os.environ.get("V2AP_BENCH_TRAIN", "1") == "1"
+            and section_fits(300, "train", result)):
+        bench_training(result_train)
+        emit(result, result_train)
+    elif "train" in result.get("sections_skipped", ()):
+        emit(result, result_train)
 
 
 if __name__ == "__main__":

@@ -65,8 +65,11 @@ def main(steps: int = 8, batch: int = 4) -> None:
     cfg = V2APConfig()
     # remat: full-size training state (f32 params + AdamW moments ~9 GB)
     # does not leave room for saved activations on a 16 GB chip
+    # V2AP_FUSED_ADALN=0 A/Bs the stacked time-cond matmul (transformer.py
+    # _fused_cond_gammas) against the reference's per-sub-op projections
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, remat=True,
+        fused_adaln=os.environ.get("V2AP_FUSED_ADALN", "1") == "1",
         remat_policy=os.environ.get("V2AP_REMAT_POLICY", "dots")))
     b, n, nc = batch, 736, 16          # 736 latents (+32 registers = 768)
     model = create_model(lambda: CFM(cfg.model, cfg.conditioning,

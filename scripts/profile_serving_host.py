@@ -74,17 +74,83 @@ def main() -> None:
     print(f"upload {px.nbytes/1e6:.1f} MB: {t_up:.3f}s  "
           f"({px.nbytes/1e6/t_up:.0f} MB/s)")
 
+    # device-only tower wall: pixels pre-staged, so this is the pure
+    # vision-tower compute a real host cannot overlap away
+    tower = pipe.towers[0]
+    dev_px = jnp.asarray(px[:64])
+    mean = jnp.asarray(tower.mean, jnp.float32)
+    std = jnp.asarray(tower.std, jnp.float32)
+    _ = np.asarray(pipe._tower_fwd(tower.model, dev_px, mean, std))  # compile
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(pipe._tower_fwd(tower.model, dev_px, mean, std))
+        reps.append(time.perf_counter() - t0)
+    tower_s_per_frame = float(np.median(reps)) / 64.0
+    n_encoded = (len(frames) + pipe._frame_stride - 1) // pipe._frame_stride
+    t_tower_dev = tower_s_per_frame * n_encoded
+    print(f"tower (device, stride {pipe._frame_stride}): {t_tower_dev:.3f}s "
+          f"for {n_encoded} frames ({tower_s_per_frame*1e3:.1f} ms/frame)")
+
     # full cold pipeline call with per-stage timings
     import dataclasses
     pipe.cfg = pipe.cfg.replace(conditioning=dataclasses.replace(
         pipe.cfg.conditioning, feature_cache=False))
     pipe.generate(video, "", steps=25, seed=0)      # compile
+    walls = []
     for rep in range(2):
         t0 = time.perf_counter()
         wav, sr = pipe.generate(video, "", steps=25, seed=rep + 1)
         wall = time.perf_counter() - t0
+        walls.append(wall)
         print(f"cold e2e rep{rep}: {wall:.3f}s  x_rt={len(wav)/sr/wall:.2f}  "
               f"stages={ {k: round(v, 3) for k, v in pipe.last_timings.items()} }")
+    # one stage-synced rep: boundaries serialised so the sampler/decode split
+    # is honest (on axon, async device work otherwise drains inside the
+    # wrong stage — see bench.py)
+    os.environ["V2AP_STAGE_SYNC"] = "1"
+    try:
+        pipe.generate(video, "", steps=25, seed=9)   # sync-path compile
+        t0 = time.perf_counter()
+        wav, sr = pipe.generate(video, "", steps=25, seed=10)
+        sync_wall = time.perf_counter() - t0
+    finally:
+        os.environ.pop("V2AP_STAGE_SYNC", None)
+    stages = {k: round(float(v), 3) for k, v in pipe.last_timings.items()}
+    audio_s = len(wav) / sr
+
+    # ---- real-host projection, as data (VERDICT r4 weak #5 / next-step #7):
+    # on a non-tunneled multi-core host, decode + preprocess + upload
+    # pipeline AGAINST device compute (towers run chunk-by-chunk while the
+    # host readies the next chunk), so projected cold wall ~= max(host
+    # media path, device path) + sampler/decode, with the device path the
+    # floor this repo can still optimise. The tunneled 1-core measurement
+    # serialises all of it; both numbers ride in the JSON so the projection
+    # is reproducible from the artifact alone.
+    t_sample = stages.get("sample_decode_s", 0.0)
+    host_media = t_decode + t_pre
+    device_path = t_tower_dev + t_sample
+    projected_wall = max(host_media, t_tower_dev) + t_sample
+    import json
+    print(json.dumps({
+        "audio_seconds": round(audio_s, 2),
+        "measured_cold_wall_s": round(float(np.median(walls)), 3),
+        "measured_cold_x_realtime": round(
+            audio_s / float(np.median(walls)), 2),
+        "sync_wall_s": round(sync_wall, 3),
+        "host_decode_s": round(t_decode, 3),
+        "host_preprocess_s": round(t_pre, 3),
+        "upload_s": round(t_up, 3),
+        "upload_mb_per_s": round(px.nbytes / 1e6 / t_up, 1),
+        "tower_device_s": round(t_tower_dev, 3),
+        "sample_decode_s": round(t_sample, 3),
+        "stage_split": stages,
+        "projected_realhost_wall_s": round(projected_wall, 3),
+        "projected_realhost_cold_x_realtime": round(
+            audio_s / projected_wall, 2) if projected_wall > 0 else None,
+        "projection_model": "max(decode+preprocess, tower_device) + "
+                            "sample_decode; upload overlapped (PCIe)",
+    }), flush=True)
 
 
 if __name__ == "__main__":

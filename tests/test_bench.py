@@ -98,3 +98,43 @@ def test_compare_previous_round(tmp_path):
     primary2 = {"value": 1.0}
     bench.compare_previous_round(primary2, repo_dir=str(tmp_path / "empty"))
     assert "prev_round" not in primary2
+
+    # a newer timed-out artifact (parsed=null, as BENCH_r04.json really is)
+    # must NOT poison the gate: fall back to the newest VALID round
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps(
+        {"rc": 124, "parsed": None}))
+    primary3 = {"value": 12.0, "unit": "x"}
+    bench.compare_previous_round(primary3, repo_dir=str(tmp_path))
+    assert primary3["prev_round"] == "BENCH_r03.json"
+    assert set(primary3["regressions"]) == {"value"}
+
+
+def test_budget_gating_and_emit(monkeypatch, capsys):
+    """An exhausted wall budget skips sections but every emit() line is a
+    complete parseable artifact (VERDICT r4: the driver keeps only the
+    tail, so a partial run must still score)."""
+    import bench
+
+    monkeypatch.setenv("V2AP_BENCH_BUDGET_S", "100000")
+    result: dict = {}
+    assert bench.section_fits(10, "cheap", result)
+    assert "sections_skipped" not in result
+
+    monkeypatch.setenv("V2AP_BENCH_BUDGET_S", "0")
+    assert not bench.section_fits(10, "train", result)
+    assert result["sections_skipped"] == ["train"]
+
+    result["hot_loop_x_realtime"] = 17.5
+    primary = bench.emit(result, {"train_mfu": 0.33})
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["value"] == 17.5
+    assert parsed["vs_baseline"] == 1.75
+    assert parsed["train_mfu"] == 0.33
+    assert parsed["sections_skipped"] == ["train"]
+    assert parsed["bench_wall_s"] >= 0
+    assert parsed == {k: v for k, v in primary.items()}
+
+    # before the hot loop lands the line is still parseable (value null)
+    primary0 = bench.emit({}, {})
+    assert primary0["value"] is None and primary0["vs_baseline"] is None

@@ -200,6 +200,13 @@ def read_video_frames_and_strips(
     physical channels as RGB2GRAY-after-BGR2RGB, and the strip resize sees
     the same gray plane (regression-tested in tests/test_data.py).
 
+    Edge-case deviation from the unfused readers: frames consumed via
+    ``cap.grab()`` are not shape-validated, so a mid-stream resolution
+    change on a skipped frame is only detected at the next decoded frame —
+    the returned source-frame count (and duration = count/fps) may include
+    up to ``max(step, strip_step) - 1`` trailing bad frames where the old
+    two-pass path truncated at the first mismatch.
+
     Returns (None, None, None, None) on decode failure.
     """
     try:

@@ -137,9 +137,10 @@ class AudioBlock(nnx.Module):
         self.ff_gate = AdaLNZero(dim, rngs=rngs)
 
     def cond_projections(self):
-        """The block's time-cond projections in slot order (for the fused
-        stacked matmul): (module, has_bias) pairs. Gammas precomputed in this
-        order feed ``__call__(gammas=...)``."""
+        """The block's time-cond projection-owning modules in slot order
+        (for the fused stacked matmul; the caller reads each module's own
+        projection weights/bias). Gammas precomputed in this order feed
+        ``__call__(gammas=...)``."""
         mods = [self.attn_norm, self.attn_gate]
         if self.cross_attn is not None:
             mods += [self.cross_norm, self.cross_gate]

@@ -12,7 +12,17 @@ over by the jitted forward, so inside ``jit`` it is a constant in HBM.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+# V2AP_ROPE_BF16=1: rotate bf16 q/k in bf16 instead of round-tripping
+# through f32. Kills the cast fusions around every rotary application (the
+# b24 train-step op profile attributed ~50 ms/step to them, NOTES.md r4s3)
+# at a ~4e-3 relative rotation error from bf16 cos/sin — smaller than the
+# accepted bf16 compute-dtype drift. f32 inputs (all parity/golden tests)
+# are never affected. Opt-in until the A/B timing is recorded in NOTES.
+_ROPE_BF16 = os.environ.get("V2AP_ROPE_BF16", "0") == "1"
 
 
 def rope_table(seq_len: int, dim: int, base: float = 10_000.0) -> jnp.ndarray:
@@ -56,9 +66,11 @@ def apply_rope(t: jnp.ndarray, freqs: jnp.ndarray,
             (seq_len,) + (1,) * (t.ndim - 2 - sa) + (half,))
     t_pass = t[..., rot_dim:]
     dtype = t.dtype
-    x1 = t[..., :half].astype(jnp.float32)
-    x2 = t[..., half:rot_dim].astype(jnp.float32)
-    cos, sin = jnp.cos(freqs_h), jnp.sin(freqs_h)
+    cdt = (dtype if _ROPE_BF16 and dtype == jnp.bfloat16 else jnp.float32)
+    x1 = t[..., :half].astype(cdt)
+    x2 = t[..., half:rot_dim].astype(cdt)
+    cos = jnp.cos(freqs_h).astype(cdt)
+    sin = jnp.sin(freqs_h).astype(cdt)
     o1 = (x1 * cos - x2 * sin).astype(dtype)
     o2 = (x2 * cos + x1 * sin).astype(dtype)
     if t_pass.shape[-1] == 0:

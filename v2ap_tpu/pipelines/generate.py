@@ -651,7 +651,13 @@ class V2APipeline:
                         roll_np = None
                         duration_s = n = None
             cache = video_io.piano_frames_cache_path(video_path)
-            has_strip_cache = (self.cfg.conditioning.feature_cache
+            # strided mode (_strip_stride > 1) never reads the full-rate
+            # strip cache — honoring it here would route a warm rerun down
+            # the EXACT-roll path while writing the result under the
+            # '+ssN'-tagged roll cache, so the same tag could hold exact or
+            # lerped numerics depending on cache history
+            has_strip_cache = (self._strip_stride == 1
+                               and self.cfg.conditioning.feature_cache
                                and video_io.load_feature_cache(cache)[0] is not None)
             if roll_np is None and not has_strip_cache:
                 # fused decode: full-rate grayscale strips + RGB at the tower
@@ -746,8 +752,17 @@ class V2APipeline:
                     if self.cfg.conditioning.feature_cache:
                         # deferred until after the wav fetch: np.asarray here
                         # would block the host on the whole tower+Video2Roll
-                        # drain BEFORE the sampler is even dispatched
-                        roll_cache_write = (video_path, duration_s)
+                        # drain BEFORE the sampler is even dispatched.
+                        # Tag by the path that PRODUCED the roll: the exact
+                        # (non-strided-plan) path can run even when
+                        # _strip_stride > 1 (explicit duration_s), and its
+                        # rolls must not masquerade as '+ssN' lerped ones
+                        tag = self._roll_tag
+                        if (self._strip_stride > 1
+                                and not isinstance(strips_dev, tuple)):
+                            tag = tag.replace(
+                                f"+ss{self._strip_stride}", "")
+                        roll_cache_write = (video_path, duration_s, tag)
                 else:
                     frames_roll = jnp.zeros((b, n, self.cfg.model.notes))
         else:
@@ -782,7 +797,7 @@ class V2APipeline:
             video_io.save_feature_cache(
                 video_io.piano_roll_cache_path(roll_cache_write[0]),
                 np.asarray(frames_roll[0]), roll_cache_write[1],
-                tag=self._roll_tag)
+                tag=roll_cache_write[2])
         # last-call stage report (read by serving/profiling; approximate for
         # async device work, exact at the blocking host-transfer boundaries)
         self.last_timings = timings

@@ -182,10 +182,17 @@ def audit_state_dict(sd: Dict[str, np.ndarray], cfm) -> dict:
     leftovers = load_cfm_from_reference_state_dict(dict(sd), cfm)
     frozen = [k for k in leftovers if k.startswith(
         ("text_encoder2.", "image_encoder.", "vocos.", "mel_spec."))]
-    unexpected = [k for k in leftovers if k not in frozen]
+    # crossatt6's FactorCL critic heads are training-only aux params
+    # (multibench_model.py FactorCLSUP); a CFM built without the contrastive
+    # stack legitimately leaves them unconsumed — classified separately so a
+    # crossatt6 checkpoint audits clean while a truly unknown key still flags
+    aux = [k for k in leftovers
+           if k.startswith("transformer.contrastive_loss.")]
+    unexpected = [k for k in leftovers if k not in frozen and k not in aux]
     return {
         "total": len(sd),
         "consumed": len(sd) - len(leftovers),
         "frozen_copies_skipped": len(frozen),
+        "aux_unconsumed": len(aux),
         "unexpected_unconsumed": unexpected,
     }
