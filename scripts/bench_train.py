@@ -52,7 +52,8 @@ def train_flops_per_step(p_matmul: int, b: int, n: int, cfg) -> float:
 
 
 def main(steps: int = 8, batch: int = 4) -> None:
-    from v2ap_tpu.utils.jitting import create_model, enable_compile_cache
+    from v2ap_tpu.utils.jitting import (create_model, enable_compile_cache,
+                                        model_rngs)
     enable_compile_cache()
     import jax
     import jax.numpy as jnp
@@ -72,8 +73,10 @@ def main(steps: int = 8, batch: int = 4) -> None:
         fused_adaln=os.environ.get("V2AP_FUSED_ADALN", "1") == "1",
         remat_policy=os.environ.get("V2AP_REMAT_POLICY", "dots")))
     b, n, nc = batch, 736, 16          # 736 latents (+32 registers = 768)
+    # V2AP_RBG_DROPOUT=0 A/Bs threefry dropout masks against the hardware-RNG
+    # default (utils.jitting.model_rngs; measured 1388 -> 1273 ms at b24)
     model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
-                                     with_video2roll=False, rngs=nnx.Rngs(0)))
+                                     with_video2roll=False, rngs=model_rngs(0)))
     trainer = Trainer(model, TrainConfig(
         warmup_steps=10, decay_steps=10_000,
         # bf16 first moment frees ~1.5 GB for activations — needed to fit

@@ -313,3 +313,34 @@ def test_mu_bf16_trains_and_halves_moment_dtype():
     mus = [x for x in jax.tree.leaves(nnx.state(tr.optimizer))
            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
     assert mus, "no bf16 moment slabs found in optimizer state"
+
+
+def test_rbg_dropout_stream_trains(monkeypatch):
+    """V2AP_RBG_DROPOUT (default on; utils.jitting.model_rngs): the dropout
+    stream rides the hardware RngBitGenerator; the train step must still
+    learn, and =0 must restore a pure-threefry Rngs. (Param init is a
+    *different* — still deterministic — draw sequence in rbg mode, since the
+    dedicated dropout stream no longer advances the default stream's fold-in
+    counter; converted checkpoints overwrite params either way.)"""
+    from jax import dtypes as jax_dtypes
+    from v2ap_tpu.utils.jitting import model_rngs
+
+    cfg = cfglib.tiny_test()
+    monkeypatch.setenv("V2AP_RBG_DROPOUT", "0")
+    off = model_rngs(0).dropout()
+    assert "rbg" not in str(off.dtype)
+    monkeypatch.setenv("V2AP_RBG_DROPOUT", "1")
+    key = model_rngs(0).dropout()
+    assert jax_dtypes.issubdtype(key.dtype, jax_dtypes.prng_key)
+    assert "rbg" in str(key.dtype)
+    model = create_model(
+        lambda: CFM(cfg.model, cfg.conditioning, with_video2roll=False,
+                    rngs=model_rngs(0)))
+
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3, warmup_steps=1,
+                                         decay_steps=1000))
+    batch = make_batch(cfg)
+    losses = [float(trainer.train_step(jax.random.key(42), batch)[0])
+              for _ in range(8)]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

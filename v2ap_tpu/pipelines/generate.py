@@ -86,7 +86,7 @@ class V2APipeline:
         from v2ap_tpu.models.encodec import EncodecModel
         from v2ap_tpu.models.t5 import T5Encoder, flan_t5_large
         from v2ap_tpu.models.video_towers import build_video_towers
-        from v2ap_tpu.utils.jitting import create_model
+        from v2ap_tpu.utils.jitting import create_model, model_rngs
 
         self.cfg = cfg or V2APConfig()
         self._jnp = jnp
@@ -109,9 +109,12 @@ class V2APipeline:
                     num_lstm_layers=1)
         self.codec_cfg = encodec_config
 
+        # model_rngs: dropout stream may ride the hardware RNG for training
+        # (V2AP_RBG_DROPOUT; serving never draws dropout, so this is inert
+        # at inference either way)
         self.cfm = create_model(lambda: CFM(
             self.cfg.model, self.cfg.conditioning,
-            with_video2roll=self.cfg.model.video2roll, rngs=nnx.Rngs(seed)))
+            with_video2roll=self.cfg.model.video2roll, rngs=model_rngs(seed)))
         self.codec = create_model(lambda: EncodecModel(self.codec_cfg,
                                                        rngs=nnx.Rngs(seed + 1)))
         self.t5 = create_model(lambda: T5Encoder(self.t5_cfg,

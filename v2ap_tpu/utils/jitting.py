@@ -78,6 +78,28 @@ def create_model(factory: Callable[[], M]) -> M:
     return nnx.jit(factory)()
 
 
+def model_rngs(seed: int):
+    """``nnx.Rngs`` whose dropout stream optionally rides the TPU hardware RNG.
+
+    Threefry (JAX's default PRNG) spends ~10 vector ops per random word; the
+    b24 full-remat train-step profile attributes ~70 ms/step to dropout mask
+    generation + select (and remat recomputes the masks in the backward).
+    The default (``V2AP_RBG_DROPOUT=1``) puts ONLY the dropout stream on the
+    ``rbg`` implementation, which lowers to XLA's stateless
+    ``RngBitGenerator`` (the hardware generator on TPU): the Bernoulli
+    keep-probability is identical and the stream is still deterministic per
+    (seed, fold-in count) — just a *different* deterministic stream than
+    threefry's, so set ``V2AP_RBG_DROPOUT=0`` to pin threefry masks.
+    Measured (b24 x 736 full-remat train step, one v5e chip, 2026-08-20):
+    1388.1 -> 1272.8 ms/step (MFU 0.331 -> 0.361). Params/other streams stay
+    threefry (a dedicated dropout stream shifts the default stream's fold-in
+    counts, so init draws differ from the single-stream build either way;
+    converted checkpoints overwrite params, and no golden pins init bits)."""
+    if os.environ.get("V2AP_RBG_DROPOUT", "1") == "1":
+        return nnx.Rngs(seed, dropout=jax.random.key(seed, impl="rbg"))
+    return nnx.Rngs(seed)
+
+
 def create_model_zeros(factory: Callable[[], M]) -> M:
     """Structure-only construction: the factory traces under
     ``nnx.eval_shape`` (no init compute or compile at all) and params
