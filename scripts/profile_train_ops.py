@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(batch: int = 8) -> None:
-    from v2ap_tpu.utils.jitting import create_model, enable_compile_cache
+    from v2ap_tpu.utils.jitting import (create_model, enable_compile_cache,
+                                        model_rngs)
     enable_compile_cache()
     import dataclasses
     import jax
@@ -29,12 +30,14 @@ def main(batch: int = 8) -> None:
     from v2ap_tpu.training import Trainer
 
     cfg = V2APConfig()
+    # mirror bench_train's knobs exactly so the bench config is profilable
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, remat=True,
+        fused_adaln=os.environ.get("V2AP_FUSED_ADALN", "1") == "1",
         remat_policy=os.environ.get("V2AP_REMAT_POLICY", "dots")))
     b, n, nc = batch, 736, 16
     model = create_model(lambda: CFM(cfg.model, cfg.conditioning,
-                                     with_video2roll=False, rngs=nnx.Rngs(0)))
+                                     with_video2roll=False, rngs=model_rngs(0)))
     trainer = Trainer(model, TrainConfig(
         warmup_steps=10, decay_steps=10_000,
         # match bench_train's env knobs so the b24 bench config is profilable
