@@ -640,18 +640,23 @@ def main() -> None:
     del pipe
     gc.collect()
 
+    # train before composite: both are subprocess sections that only fit a
+    # cold-cache run one-at-a-time, and the train keys (step ms / MFU) are
+    # perf headlines while composite is quality evidence that also lives in
+    # NOTES + COMPOSITE_r05.json (a cold f32-bigG compile blew its 617 s
+    # slice in the r5 builder run and starved train)
+    if (os.environ.get("V2AP_BENCH_TRAIN", "1") == "1"
+            and section_fits(300, "train", result)):
+        bench_training(result_train)
+        emit(result, result_train)
+
     if (os.environ.get("V2AP_BENCH_COMPOSITE", "1") == "1"
             and section_fits(300, "composite_drift", result)):
         bench_subprocess_json(
             "probe_composite_drift.py", result, "composite_drift_error",
             timeout_env="V2AP_BENCH_COMPOSITE_TIMEOUT", default_timeout=700)
         emit(result, result_train)
-
-    if (os.environ.get("V2AP_BENCH_TRAIN", "1") == "1"
-            and section_fits(300, "train", result)):
-        bench_training(result_train)
-        emit(result, result_train)
-    elif "train" in result.get("sections_skipped", ()):
+    elif result.get("sections_skipped"):
         emit(result, result_train)
 
 

