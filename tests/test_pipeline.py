@@ -558,3 +558,30 @@ def test_generate_piano_strip_half_mode(pipeline, tmp_path):
         pipeline._ship_strip_half, pipeline._roll_tag = old_flag, old_tag
     assert np.isfinite(wav_half).all()
     assert wav_half.shape == wav_exact.shape
+
+
+def test_yuv420_auto_detection_uses_backend_registry(monkeypatch):
+    """yuv420 shipping auto-defaults ON exactly when the axon (tunneled)
+    plugin is registered. The plugin's devices report platform "tpu", so a
+    default_backend() string check never fires — the r5 composite probe's
+    modes field caught that the "default" had silently been RGB since r3.
+    The detection must read the backend registry key, and the env override
+    must win in both directions."""
+    from jax._src import xla_bridge as xb
+
+    cfg = tiny_pipeline_cfg()
+    build = lambda: V2APipeline(cfg, t5_config=t5_tiny_test(),
+                                clip_config=clip_tiny_test())
+
+    monkeypatch.delenv("V2AP_SHIP_YUV420", raising=False)
+    real = xb.backends()
+    assert "axon" not in real          # CPU test env
+    assert build()._ship_yuv420 is False
+
+    monkeypatch.setattr(xb, "backends", lambda: {**real, "axon": object()})
+    pipe = build()
+    assert pipe._ship_yuv420 is True
+    assert pipe._tower_tag.endswith("+yuv420")
+
+    monkeypatch.setenv("V2AP_SHIP_YUV420", "0")   # override beats detection
+    assert build()._ship_yuv420 is False
