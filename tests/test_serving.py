@@ -4,6 +4,7 @@ API, resilience guards, extra datasets."""
 import io
 import json
 import os
+import urllib.error
 import urllib.request
 
 import jax
@@ -387,3 +388,25 @@ def test_post_fewstep_mode(served_pipeline, tmp_path):
     with urllib.request.urlopen(req, timeout=600) as r:
         wav_bytes = r.read()
     assert wav_bytes[:4] == b"RIFF"
+
+
+def test_example_endpoint(served_pipeline):
+    """GET /example synthesizes a demo clip server-side and runs the real
+    generate path — the reference's clickable Gradio examples
+    (app.py:369-410), whose bundled mp4s are LFS stubs in this repo. Both
+    modes must return playable WAV bytes; unknown modes 400."""
+    _, server = served_pipeline
+    port = server.server_address[1]
+    for mode in ("v2a", "v2p"):
+        url = (f"http://127.0.0.1:{port}/example?mode={mode}"
+               f"&steps=2&seconds=2")
+        with urllib.request.urlopen(url, timeout=600) as r:
+            data = r.read()
+        assert r.status == 200
+        assert data[:4] == b"RIFF" and len(data) > 1000, mode
+    bad = f"http://127.0.0.1:{port}/example?mode=nope"
+    try:
+        urllib.request.urlopen(bad, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -5,6 +5,10 @@ The reference serves through a Gradio UI (app.py:319-410) and a Cog
 a stdlib ThreadingHTTPServer with
 
   GET  /            — minimal HTML upload form (the UI surface)
+  GET  /example     — built-in demo: synthesizes a clip server-side and runs
+                      it through the same generate path (?mode=v2a|v2p,
+                      &steps=N) — the reference's clickable Gradio examples
+                      (app.py:369-410), whose bundled mp4s are LFS stubs here
   GET  /healthz     — liveness + model info
   GET  /metrics     — request counters + latency quantiles (JSON; also
                       Prometheus text with Accept: text/plain)
@@ -97,6 +101,9 @@ _FORM = """<!doctype html>
            <option value="v2p">piano</option></select></p>
   <p><button type="submit">Generate</button></p>
 </form>
+<p>Examples (no upload needed):
+   <a href="/example?mode=v2a">general audio</a> ·
+   <a href="/example?mode=v2p">piano</a></p>
 """
 
 
@@ -129,8 +136,45 @@ class V2APHandler(BaseHTTPRequestHandler):
             info = {"status": "ok", "model_dim": cfg.model.dim,
                     "depth": cfg.model.depth, "notes": cfg.model.notes}
             self._send(200, json.dumps(info).encode(), "application/json")
+        elif self.path.split("?")[0] == "/example":
+            self._serve_example()
         else:
             self._send(200, _FORM.format(mode="v2a").encode())
+
+    def _serve_example(self):
+        from urllib.parse import parse_qs, urlsplit
+        q = parse_qs(urlsplit(self.path).query)
+        mode = (q.get("mode") or ["v2a"])[0]
+        t0 = time.perf_counter()
+        try:
+            from v2ap_tpu.serving.examples import EXAMPLES, example_clip_path
+            if mode not in EXAMPLES:
+                self.metrics.observe("example", time.perf_counter() - t0,
+                                    False)
+                self._send(400, json.dumps(
+                    {"error": f"unknown example mode {mode!r}",
+                     "modes": list(EXAMPLES)}).encode(), "application/json")
+                return
+            steps = max(2, min(64, int((q.get("steps") or ["25"])[0])))
+            seconds = max(2.0, min(30.0,
+                                   float((q.get("seconds") or ["6"])[0])))
+            video = example_clip_path(mode, seconds=seconds)
+            with self.lock:
+                wav, sr = self.pipeline.generate(
+                    video, "", steps=steps, piano=mode == "v2p")
+            from v2ap_tpu.data.audio_io import write_wav
+            with tempfile.TemporaryDirectory() as tmp:
+                out = os.path.join(tmp, "out.wav")
+                write_wav(out, wav, sr)
+                with open(out, "rb") as f:
+                    data = f.read()
+        except Exception as exc:
+            self.metrics.observe("example", time.perf_counter() - t0, False)
+            self._send(500, json.dumps({"error": str(exc)}).encode(),
+                       "application/json")
+            return
+        self.metrics.observe("example", time.perf_counter() - t0, True)
+        self._send(200, data, "audio/wav")
 
     def _parse_multipart(self):
         length = int(self.headers.get("Content-Length", 0))
