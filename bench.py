@@ -541,7 +541,10 @@ def bench_training(result: dict) -> None:
     # for a median at this batch (the r4 default of 6 existed only to
     # tighten a spread the driver then never saw). Env overrides keep A/Bs
     # possible.
-    args = os.environ.get("V2AP_BENCH_TRAIN_ARGS", "3 24").split()
+    # batch 32 became the throughput optimum after the r5 kernel work
+    # (packed flash + fused AdaLN + hardware-RNG dropout): r5 sweep b24
+    # 0.361 / b28 0.364 / b32 0.371 / b40 0.359 MFU
+    args = os.environ.get("V2AP_BENCH_TRAIN_ARGS", "3 32").split()
     env = dict(os.environ)
     env.setdefault("V2AP_MU_BF16", "1")
     env.setdefault("V2AP_REMAT_POLICY", "full")
