@@ -518,8 +518,22 @@ def compare_previous_round(primary: dict, repo_dir: str | None = None) -> None:
             if pct <= -10.0:
                 regressions[k] = {"prev": pv, "now": v,
                                   "pct": round(pct, 1)}
+                note = _DEFINITION_CHANGES.get((k, prev_name))
+                if note:
+                    regressions[k]["note"] = note
     if regressions:
         primary["regressions"] = regressions
+
+
+# keys whose MEANING changed between rounds: a drop vs an old artifact is a
+# definition change, not a perf regression — annotate so the scoreboard is
+# readable without cross-referencing NOTES
+_DEFINITION_CHANGES = {
+    ("e2e_bf16_towers_x_realtime", "BENCH_r03.json"):
+        "definition changed in r4: now the FULL parity mode "
+        "(bf16 + frame_stride 1 + RGB + exact strips), deliberately "
+        "unoptimized; the r3 number was the then-default serving mode",
+}
 
 
 def bench_training(result: dict) -> None:
