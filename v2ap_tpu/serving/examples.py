@@ -8,6 +8,13 @@ equivalent surface here synthesizes a deterministic demo clip server-side
 upload pipeline: ``GET /example?mode=v2a|v2p`` behaves like posting the
 bundled example would.
 
+Note on untrained weights: the two examples produce IDENTICAL audio until a
+real checkpoint is loaded — conditioning reaches the audio stream only
+through the zero-initialised CrossCondition fusions (and near-zero AdaLN
+gates), so a constructor-initialised CFM is conditioning-independent by
+construction. This is the expected cold-start behavior, not an example
+routing bug; with converted weights the modes diverge.
+
 Two content classes:
   * v2a — a smooth translating low-frequency texture (codec-like content,
     the class every serving-default drift bound is measured on);
