@@ -669,9 +669,13 @@ def main() -> None:
 
     if (os.environ.get("V2AP_BENCH_COMPOSITE", "1") == "1"
             and section_fits(300, "composite_drift", result)):
+        # 1000 s default: three warm phases fit in ~200-400 s but a cold
+        # f32-bigG compile can need most of this; the cap still clamps to
+        # the remaining wall budget, so it can only spend what is left
+        # after the train section
         bench_subprocess_json(
             "probe_composite_drift.py", result, "composite_drift_error",
-            timeout_env="V2AP_BENCH_COMPOSITE_TIMEOUT", default_timeout=700)
+            timeout_env="V2AP_BENCH_COMPOSITE_TIMEOUT", default_timeout=1000)
         emit(result, result_train)
     elif result.get("sections_skipped"):
         emit(result, result_train)
